@@ -1,0 +1,67 @@
+package graft.conf
+
+/** Engine configuration.
+  *
+  * The first four fields mirror the reference's config scalars:
+  * gram-size bounds and Levenshtein toggle
+  * (`/root/reference/src/Data/FuzzySet/Internal.hs:53-58`), default values
+  * (2, 3, true) from `defaultSet`
+  * (`/root/reference/src/Data/FuzzySet/Simple.hs:160-161`) and the default
+  * minimum score 0.33 (`Simple.hs:226`).
+  *
+  * The remaining fields configure the scale path (MinHash/LSH, SimHash,
+  * skew handling) that the single-node reference does not need: its
+  * inverted index (`Internal.hs:51`) is a degenerate LSH with band = one
+  * gram, which stops scaling once postings lists grow with corpus size.
+  *
+  * @param gramLo         inclusive lower bound of gram sizes
+  * @param gramHi         inclusive upper bound of gram sizes
+  * @param useLevenshtein rerank top-50 cosine candidates by normalized
+  *                       Levenshtein similarity (`Internal.hs:87-93`)
+  * @param minScore       drop results scoring below this (`Simple.hs:226`)
+  * @param topKRerank     cosine candidates kept per query before the
+  *                       Levenshtein rerank (`Internal.hs:90` - take 50)
+  * @param minhashHashes  number of MinHash permutations (= bands * rowsPerBand)
+  * @param minhashBands   LSH band count
+  * @param rowsPerBand    MinHash rows per band; candidate-probability curve
+  *                       is 1 - (1 - j^r)^b for Jaccard j
+  * @param simhashBits    SimHash fingerprint width (64 = one long)
+  * @param seed           base seed for all hash families (deterministic)
+  * @param maxBandBucket  cap on rows sharing one LSH band value before the
+  *                       bucket is declared hot and salted/cut (skew guard)
+  * @param maxPostingsPerGram stop-list threshold: grams whose document
+  *                       frequency exceeds this are dropped from the
+  *                       candidate join (they only add quadratic pairs);
+  *                       verification still uses full gram vectors
+  * @param shufflePartitions value for spark.sql.shuffle.partitions
+  */
+final case class FuzzyConf(
+    gramLo: Int = 2,
+    gramHi: Int = 3,
+    useLevenshtein: Boolean = true,
+    minScore: Double = 0.33,
+    topKRerank: Int = 50,
+    minhashHashes: Int = 192,
+    minhashBands: Int = 64,
+    rowsPerBand: Int = 3,
+    simhashBits: Int = 64,
+    seed: Long = 42L,
+    maxBandBucket: Int = 2000,
+    maxPostingsPerGram: Int = 10000,
+    shufflePartitions: Int = 32
+) {
+  require(gramLo >= 2, "gram size must be at least 2 (Internal.hs:193)")
+  require(gramHi >= gramLo, "gramHi must be >= gramLo")
+  require(
+    minhashBands * rowsPerBand == minhashHashes,
+    "minhashHashes must equal minhashBands * rowsPerBand"
+  )
+  /** Gram sizes in query-cascade order: upper bound first (Simple.hs:181). */
+  def sizesDesc: Seq[Int] = gramHi.to(gramLo, -1)
+  def sizes: Seq[Int] = gramLo to gramHi
+}
+
+object FuzzyConf {
+  /** The reference's `defaultSet` config (Simple.hs:160-161, 226). */
+  val default: FuzzyConf = FuzzyConf()
+}
