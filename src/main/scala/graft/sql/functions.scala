@@ -1,0 +1,158 @@
+package graft.sql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Column-level building blocks for the engine.
+  *
+  * Everything here composes Spark BUILT-IN expressions (whole-stage codegen,
+  * no UDF in the hot path) — per the Catalyst coverage assessment in
+  * SURVEY.md §4. Semantics mirror the reference kernels:
+  *
+  *  - normText / enclosed / shingles <-> `normalized`/`enclosedIn`/`grams`
+  *    (`/root/reference/src/Data/FuzzySet/Internal.hs:191-211`,
+  *    `Utils.hs:26-30`)
+  *  - levNormSim <-> `distance` (`Internal.hs:231-232`)
+  *
+  * The MinHash/SimHash family uses a PORTABLE hash (md5 prefix -> 60-bit
+  * int, Kirsch-Mitzenmacher double hashing mod a 1e9-scale prime) so the
+  * DuckDB correctness oracle can reproduce signatures bit-for-bit in plain
+  * SQL. All arithmetic stays within signed-64 range: values < P ~ 1e9 and
+  * multipliers <= numHashes keep products < 2^63.
+  */
+object functions {
+
+  /** Modulus for the portable hash family; small enough that
+    * k * (h % P) + (h % P) never overflows Long for k <= 4096.
+    */
+  val HashP: Long = 1000000007L
+
+  /** Reference `normalized` (Internal.hs:204-211): lowercase, keep Unicode
+    * alphanumerics (L* and Nd/Nl/No), whitespace (Haskell isSpace: \t-\r,
+    * space separators) and ','.
+    */
+  def normText(c: Column): Column =
+    F.regexp_replace(
+      F.lower(c),
+      "[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}\\t\\n\\x0B\\f\\r\\p{Zs}\\p{Zl}\\p{Zp},]",
+      "")
+
+  /** `enclosedIn '-'` (Utils.hs:26-27). */
+  def enclosed(c: Column): Column = F.concat(F.lit("-"), c, F.lit("-"))
+
+  /** Character n-grams over the normalized, hyphen-enclosed input
+    * (Internal.hs:191-197). Guarded so an input shorter than n yields an
+    * empty array (Spark's `sequence(1, 0)` would otherwise DESCEND).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    require(n >= 2, "gram size must be at least 2 (Internal.hs:193)")
+    val s = enclosed(normText(c))
+    F.when(
+      F.length(s) >= n,
+      F.transform(
+        F.sequence(F.lit(1), F.length(s) - (n - 1)),
+        i => s.substr(i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
+  }
+
+  /** Normalized Levenshtein SIMILARITY (Internal.hs:231-232):
+    * 1 - edits/max(len); both-empty => 1.0.
+    */
+  def levNormSim(a: Column, b: Column): Column = {
+    val maxLen = F.greatest(F.length(a), F.length(b))
+    F.when(maxLen === 0, F.lit(1.0))
+      .otherwise(F.lit(1.0) - F.levenshtein(a, b).cast("double") / maxLen.cast("double"))
+  }
+
+  /** 60-bit positive int from 15 hex chars of md5, offset 1 or 17 within the
+    * 32-char digest. Portable: DuckDB `('0x' || substr(md5(x), off, 15))::BIGINT`.
+    */
+  def h60(c: Column, off: Int): Column = {
+    require(off == 1 || off == 17)
+    F.conv(F.substring(F.md5(c), off, 15), 16, 10).cast("long")
+  }
+
+  /** MinHash signature (array of numHashes longs) over the DISTINCT gram
+    * set. hash_k(g) = (h1(g) + k * h2(g)) mod P with h1/h2 from one md5 per
+    * gram (Kirsch-Mitzenmacher). One md5 per distinct gram, then H
+    * multiply-adds — not H md5s.
+    */
+  def minhashSig(gramsCol: Column, numHashes: Int): Column = {
+    val hp = F.transform(
+      F.array_distinct(gramsCol),
+      g => F.struct((h60(g, 1) % HashP).as("h1"), (h60(g, 17) % HashP).as("h2")))
+    F.transform(
+      F.sequence(F.lit(0), F.lit(numHashes - 1)),
+      k =>
+        F.array_min(
+          F.transform(hp, h => (h.getField("h1") + k * h.getField("h2")) % HashP)))
+  }
+
+  /** LSH band keys: array of `bands` strings "<band>:<sig[b*r]>,...". A band
+    * key equality <=> the r signature rows in that band all agree.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    F.transform(
+      F.sequence(F.lit(0), F.lit(bands - 1)),
+      b =>
+        F.concat(
+          b.cast("string"),
+          F.lit(":"),
+          F.array_join(
+            F.transform(
+              F.slice(sig, b * rowsPerBand + 1, F.lit(rowsPerBand)),
+              v => v.cast("string")),
+            ",")))
+
+  /** 60-bit SimHash over the gram MULTISET (array repetitions = weights).
+    * bit b of h(g) = (h // 2^b) % 2; fingerprint bit b set iff
+    * sum_g (2*bit_b(h(g)) - 1) > 0. Built-ins only; DuckDB replicates with
+    * list comprehensions + integer division.
+    */
+  def simhash60(gramsCol: Column): Column = {
+    val hs = F.transform(gramsCol, g => h60(g, 1))
+    // bit_b(h) = (h mod 2^(b+1)) >= 2^b — exact long arithmetic throughout
+    // (shiftright only takes a literal shift; double division would lose
+    // bits above 2^53). pow2 literals indexed by the lambda variable.
+    val pow2 = F.array((0 to 60).map(b => F.lit(1L << b)): _*)
+    F.aggregate(
+      F.sequence(F.lit(0), F.lit(59)),
+      F.lit(0L),
+      (acc, b) => {
+        val p = F.element_at(pow2, b + 1)
+        val p2 = F.element_at(pow2, b + 2)
+        val balance = F.aggregate(
+          hs,
+          F.lit(0L),
+          (s, h) => s + F.when(h % p2 >= p, 1L).otherwise(-1L))
+        acc + F.when(balance > 0, p).otherwise(F.lit(0L))
+      })
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  /** Polynomial rolling-hash document fingerprint over code points:
+    * fold(acc = (acc*31 + ascii(ch)) mod P). Portable to DuckDB
+    * list_reduce. Deterministic, order-sensitive (unlike set hashes).
+    */
+  def rollingFingerprint(c: Column): Column =
+    F.when(F.length(c) === 0, F.lit(0L)).otherwise(
+      F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0L),
+        (acc, i) => (acc * 31 + F.ascii(c.substr(i, F.lit(1)))) % HashP))
+
+  /** Cosine similarity between two float-array columns (dot / (|a|*|b|)),
+    * computed in double precision, left-to-right — matches DuckDB
+    * list_reduce order for the oracle.
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      F.aggregate(
+        F.zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        (acc, v) => acc + v)
+    dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.stage
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Candidate-pair generation — the scale replacement for the reference's
+  * all-items inverted-index walk (Internal.hs:67-74), which at 10^12 rows
+  * would make every frequent gram a quadratic bomb (SURVEY.md §4 O1).
+  *
+  * Three passes, all equi-joins (shuffle-hash/sort-merge under AQE):
+  *  - exact: star edges inside identical-key groups — O(group) not
+  *    O(group^2), since connected components only needs a spanning star
+  *  - MinHash/LSH: self-join on band keys; HOT buckets (>= maxBandBucket
+  *    members) are dropped — a bucket that size means a near-constant
+  *    signature band, and its members still pair through their other
+  *    bands / the exact pass; dropping bounds worst-case pair fanout
+  *  - SimHash: self-join on 15-bit fingerprint chunks (4 chunks of the
+  *    60-bit fingerprint => any pair within hamming distance 3 shares at
+  *    least one exact chunk), verified by bit_count(xor) <= maxHamming
+  */
+object Candidates {
+
+  /** (src_id, dst_id, kind="exact", score=1.0): members -> their item root.
+    * Equivalent under connected components to all-pairs within a key group.
+    */
+  def exactEdges(members: DataFrame): DataFrame =
+    members
+      .filter(col("clip_id") =!= col("item_id"))
+      .select(
+        col("item_id").as("a_id"),
+        col("clip_id").as("b_id"),
+        lit("exact").as("kind"),
+        lit(1.0).as("score"))
+
+  /** Unordered candidate pairs (a_id < b_id) from LSH band collisions. */
+  def lshPairs(bands: DataFrame, maxBandBucket: Int): DataFrame = {
+    val okBuckets = bands
+      .groupBy("band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBandBucket && col("bucket_n") > 1)
+      .select("band_key")
+    val ok = bands.join(okBuckets, Seq("band_key"))
+    val a = ok.select(col("band_key"), col("item_id").as("a_id"))
+    val b = ok.select(col("band_key"), col("item_id").as("b_id"))
+    a.join(b, Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** Unordered candidate pairs from SimHash chunk collisions at
+    * hamming distance <= maxHamming (pigeonhole over 4 x 15-bit chunks).
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int, maxBandBucket: Int): DataFrame = {
+    val chunked = sigs.select(
+      col("item_id"),
+      col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(
+          lit(c).as("chunk_idx"),
+          (shiftright(col("simhash"), 15 * c) % lit(1L << 15)).as("chunk_val"))
+      }: _*)).as("ch"))
+      .select(col("item_id"), col("simhash"), col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_val").as("chunk_val"))
+    val okBuckets = chunked
+      .groupBy("chunk_idx", "chunk_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBandBucket && col("bucket_n") > 1)
+      .select("chunk_idx", "chunk_val")
+    val ok = chunked.join(okBuckets, Seq("chunk_idx", "chunk_val"))
+    val a = ok.select(col("chunk_idx"), col("chunk_val"), col("item_id").as("a_id"), col("simhash").as("a_sh"))
+    val b = ok.select(col("chunk_idx"), col("chunk_val"), col("item_id").as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
+      .select("a_id", "b_id")
+      .distinct()
+  }
+}

@@ -1,0 +1,189 @@
+package graft.stage
+
+import graft.sql.{functions => gf}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed `findMin`/`getMatches` (Internal.hs:76-106, Simple.hs:176-186)
+  * plus the two dedup verification flavors.
+  *
+  * Determinism note: every score here is bit-identical to the in-memory
+  * oracle because the dot products and squared magnitudes are INTEGER sums
+  * (order-free under any shuffle), and only then divided/sqrt'd in double —
+  * so top-50 boundaries and minScore filters agree exactly across
+  * partitionings, resumes, and cluster sizes. Ties in the cosine sort are
+  * broken by the item key (the reference's own tests sort by entry,
+  * Spec.hs:136; its runtime tie order is HashMap-fold nondeterminism).
+  */
+object FindStage {
+
+  /** Probe-mode findMin. probes: (query_id, query). Returns
+    * (query_id, score, matched, gram_size); gram_size 0 = exact pass.
+    *
+    * Reproduces: exact-key short-circuit (score 1.0, fuzzy skipped) ->
+    * gram-size cascade LARGEST FIRST with anti-join fallthrough (SURVEY §4
+    * O4: the dense size-2 join runs only for probes size 3 missed).
+    */
+  def findMin(probes: DataFrame, idx: IndexTables, minScore: Double): DataFrame = {
+    val p = probes
+      .select(col("query_id").cast("string").as("query_id"), col("query"))
+      .withColumn("qkey", lower(col("query")))
+
+    val exact = p
+      .join(idx.items.select(col("key").as("qkey"), col("original")), Seq("qkey"))
+      .select(col("query_id"), lit(1.0).as("score"), col("original").as("matched"),
+        lit(0).as("gram_size"))
+
+    val rest = p
+      .join(idx.items.select(col("key").as("qkey")), Seq("qkey"), "left_anti")
+      .select("query_id", "qkey")
+
+    val fuzzy = cascade(rest, idx, minScore, excludeSelf = false) { (remaining, n) =>
+      remaining
+        .select(col("query_id"), explode(gf.shingles(col("qkey"), n)).as("gram"))
+        .groupBy("query_id", "gram")
+        .agg(count(lit(1)).cast("int").as("qcnt"))
+    }
+    exact.unionByName(fuzzy.drop("matched_id"))
+  }
+
+  /** Corpus self-matching with FULL reference fidelity — the reference
+    * pipeline verbatim as a distributed postings self-join (SURVEY §3.2):
+    * every item probes the whole index through the inverted-index equi-join,
+    * top-50 crowding and all; the item itself participates in ranking (it
+    * occupies a top-50 slot, exactly as a self-query would) but is excluded
+    * from the returned edges. Quadratic in postings collisions — correct at
+    * any scale but the frequent-gram bomb (SURVEY §7.4) makes it the
+    * small-corpus / validation path; `verifyPairs` over LSH candidates is
+    * the 10^12 path.
+    */
+  def selfFindEdges(idx: IndexTables, minScore: Double): DataFrame = {
+    val probes = idx.items.select(col("item_id").as("query_id"), col("key").as("qkey"))
+    cascade(probes, idx, minScore, excludeSelf = true) { (remaining, n) =>
+      idx.postings
+        .filter(col("gram_size") === n)
+        .select(col("item_id").as("query_id"), col("gram"), col("cnt").as("qcnt"))
+        .join(remaining.select("query_id"), Seq("query_id"), "left_semi")
+    }.select(col("query_id").as("a_id"), col("matched_id").as("b_id"),
+      lit("fuzzy").as("kind"), col("score"))
+  }
+
+  /** Shared gram-size cascade. qgrams(remaining, n) must yield
+    * (query_id, gram, qcnt) for the still-unresolved probes. Emits
+    * (query_id, score, matched, matched_id, gram_size); when excludeSelf,
+    * matches with item_id == query_id are dropped AFTER ranking (they still
+    * crowd the top-50, as in a true self-query) and a probe falls through
+    * to the next size if only its self-match passed.
+    */
+  private def cascade(
+      probes: DataFrame,
+      idx: IndexTables,
+      minScore: Double,
+      excludeSelf: Boolean
+  )(qgrams: (DataFrame, Int) => DataFrame): DataFrame = {
+    val conf = idx.conf
+    var remaining = probes
+    var acc: Option[DataFrame] = None
+
+    for (n <- conf.sizesDesc) {
+      val qg = qgrams(remaining, n)
+      val qnorm = qg.groupBy("query_id").agg(sqrt(sum(col("qcnt") * col("qcnt"))).as("qmag"))
+
+      val post = idx.postings.filter(col("gram_size") === n).drop("gram_size")
+      val dots = qg
+        .join(post, Seq("gram"))
+        .groupBy("query_id", "item_id")
+        .agg(sum(col("qcnt").cast("long") * col("cnt")).as("dot"))
+
+      val inorm = idx.norms.filter(col("gram_size") === n).select(col("item_id"), col("magnitude"))
+      val cos = dots
+        .join(qnorm, Seq("query_id"))
+        .join(inorm, Seq("item_id"))
+        .filter(col("qmag") > 0 && col("magnitude") > 0)
+        .withColumn("cosine", col("dot") / (col("qmag") * col("magnitude")))
+
+      val withKeys = cos
+        .join(idx.items.select(col("item_id"), col("key"), col("original")), Seq("item_id"))
+        .join(remaining, Seq("query_id"))
+
+      val scored =
+        if (conf.useLevenshtein) {
+          // take-50 BEFORE the expensive rerank (Internal.hs:90); rerank
+          // compares raw lowercased keys, not gram-normalized text
+          // (Internal.hs:91 — SURVEY §7.4 asymmetry trap)
+          val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("key").asc)
+          withKeys
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= conf.topKRerank)
+            .withColumn("score", gf.levNormSim(col("qkey"), col("key")))
+        } else withKeys.withColumn("score", col("cosine"))
+
+      val passed = scored.filter(col("score") >= minScore)
+      val found =
+        (if (excludeSelf) passed.filter(col("item_id") =!= col("query_id")) else passed)
+          .select(col("query_id"), col("score"), col("original").as("matched"),
+            col("item_id").as("matched_id"), lit(n).as("gram_size"))
+
+      acc = Some(acc.map(_.unionByName(found)).getOrElse(found))
+      remaining = remaining.join(found.select("query_id").distinct(), Seq("query_id"), "left_anti")
+    }
+    acc.get.select("query_id", "score", "matched", "matched_id", "gram_size")
+  }
+
+  /** Top-1 per query: deterministic (score desc, matched asc). */
+  def bestPerQuery(results: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("matched").asc)
+    results.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Pair verification for candidate pairs (a_id, b_id) — the 10^12-scale
+    * path: the reference scoring kernel applied per candidate pair. Dot
+    * products via a postings equi-join RESTRICTED to candidate ids —
+    * linear in (pairs x shared grams), never all-pairs.
+    *
+    * score: with useLevenshtein, levNormSim(key_a, key_b) — identical to
+    * the score the reference rerank would assign; without, the cosine at
+    * the largest gram size the pair shares grams at. Divergence from probe
+    * mode: no per-query top-50 crowding (can only ADD pairs, so recall vs
+    * the oracle is preserved; SURVEY §2.5 tie-break note).
+    */
+  def verifyPairs(pairs: DataFrame, idx: IndexTables, minScore: Double): DataFrame = {
+    val conf = idx.conf
+    val pa = idx.postings.select(
+      col("item_id").as("a_id"), col("gram_size"), col("gram"), col("cnt").as("a_cnt"))
+    val pb = idx.postings.select(
+      col("item_id").as("b_id"), col("gram_size"), col("gram"), col("cnt").as("b_cnt"))
+
+    val dots = pairs
+      .join(pa, Seq("a_id"))
+      .join(pb, Seq("b_id", "gram_size", "gram"))
+      .groupBy("a_id", "b_id", "gram_size")
+      .agg(sum(col("a_cnt").cast("long") * col("b_cnt")).as("dot"))
+
+    val na = idx.norms.select(col("item_id").as("a_id"), col("gram_size"), col("magnitude").as("a_mag"))
+    val nb = idx.norms.select(col("item_id").as("b_id"), col("gram_size"), col("magnitude").as("b_mag"))
+    val cos = dots
+      .join(na, Seq("a_id", "gram_size"))
+      .join(nb, Seq("b_id", "gram_size"))
+      .withColumn("cosine", col("dot") / (col("a_mag") * col("b_mag")))
+
+    // per pair keep the largest gram size with shared grams
+    val w = Window.partitionBy("a_id", "b_id").orderBy(col("gram_size").desc)
+    val top = cos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+
+    val scored =
+      if (conf.useLevenshtein) {
+        val ka = idx.items.select(col("item_id").as("a_id"), col("key").as("a_key"))
+        val kb = idx.items.select(col("item_id").as("b_id"), col("key").as("b_key"))
+        top
+          .join(ka, Seq("a_id"))
+          .join(kb, Seq("b_id"))
+          .withColumn("score", gf.levNormSim(col("a_key"), col("b_key")))
+      } else top.withColumn("score", col("cosine"))
+
+    scored
+      .filter(col("score") >= minScore)
+      .select(col("a_id"), col("b_id"), lit("fuzzy").as("kind"), col("score"))
+  }
+}

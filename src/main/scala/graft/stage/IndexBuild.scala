@@ -1,0 +1,87 @@
+package graft.stage
+
+import graft.conf.FuzzyConf
+import graft.sql.{functions => gf}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference `FuzzySet` record normalized into tables (SURVEY.md §1.2):
+  *
+  *  - `items`    <-> exactSet  (Internal.hs:50): one row per distinct
+  *                   lowercased key; item identity is the minimum source id
+  *                   sharing the key (deterministic across partitionings and
+  *                   resumes — never monotonically_increasing_id)
+  *  - `members`  <-> which source rows collapsed into each item (the
+  *                   reference's first-writer-wins dedup, Internal.hs:111;
+  *                   intended semantics: dedup on lower(str), SURVEY §2.1)
+  *  - `postings` <-> matchDict (Internal.hs:51): gram -> (item, count)
+  *  - `norms`    <-> per-item precomputed magnitudes (Internal.hs:38-41)
+  *  - `sigs`/`bands`: the scale path the reference lacks — MinHash/LSH and
+  *                   SimHash signatures over the gramHi shingle set
+  */
+final case class IndexTables(
+    conf: FuzzyConf,
+    items: DataFrame, // (item_id, key, original, n_members)
+    members: DataFrame, // (clip_id, item_id)
+    postings: DataFrame, // (gram_size, gram, item_id, cnt)
+    norms: DataFrame, // (item_id, gram_size, magnitude)
+    sigs: DataFrame, // (item_id, sig: array<long>, simhash: long)
+    bands: DataFrame // (item_id, band_key)
+)
+
+object IndexBuild {
+
+  /** Batch index build = the reference's `addMany_` fold (Internal.hs:140)
+    * as one declarative plan: two shuffles (dedup groupBy, postings
+    * groupBy); Catalyst prunes `bytes`/audio columns away because only
+    * (idCol, textCol) are selected.
+    */
+  def apply(input: DataFrame, idCol: String, textCol: String, conf: FuzzyConf): IndexTables = {
+    val keyed = input
+      .select(col(idCol).cast("string").as("clip_id"), col(textCol).as("original"))
+      .withColumn("key", lower(col("original")))
+
+    val items = keyed
+      .groupBy("key")
+      .agg(
+        min("clip_id").as("item_id"),
+        min_by(col("original"), col("clip_id")).as("original"),
+        count(lit(1)).as("n_members"))
+      .select("item_id", "key", "original", "n_members")
+
+    val members = keyed
+      .select("clip_id", "key")
+      .join(items.select("key", "item_id"), Seq("key"))
+      .select("clip_id", "item_id")
+
+    // one scan, both gram sizes: explode(array(struct(n, shingles(key,n))))
+    val sized = items
+      .select(
+        col("item_id"),
+        explode(array(conf.sizes.map(n =>
+          struct(lit(n).as("gram_size"), gf.shingles(col("key"), n).as("grams"))): _*)).as("sg"))
+      .select(col("item_id"), col("sg.gram_size").as("gram_size"), explode(col("sg.grams")).as("gram"))
+
+    // partial (map-side) + final hash agg — the distributed form of the
+    // reference's per-insert postings merge (Internal.hs:129-136)
+    val postings = sized
+      .groupBy("gram_size", "gram", "item_id")
+      .agg(count(lit(1)).cast("int").as("cnt"))
+
+    val norms = postings
+      .groupBy("item_id", "gram_size")
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("magnitude"))
+
+    val g = gf.shingles(col("key"), conf.gramHi)
+    val sigs = items.select(
+      col("item_id"),
+      gf.minhashSig(g, conf.minhashHashes).as("sig"),
+      gf.simhash60(g).as("simhash"))
+
+    val bands = sigs.select(
+      col("item_id"),
+      explode(gf.bandKeys(col("sig"), conf.minhashBands, conf.rowsPerBand)).as("band_key"))
+
+    IndexTables(conf, items, members, postings, norms, sigs, bands)
+  }
+}

@@ -1,0 +1,263 @@
+package graft.api
+
+import graft.SparkTestSession
+import graft.conf.FuzzyConf
+import graft.text.FuzzySetRef
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Distributed pipeline vs the in-memory reference-semantics oracle
+  * (SURVEY.md §5 engine test plan (a)/(c)): identical match sets and
+  * scores for probe-mode find; >= 0.99 dup-pair recall for the dedup path.
+  */
+class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val states = Seq(
+    "Alabama", "Alaska", "American Samoa", "Arizona", "Arkansas",
+    "California", "Colorado", "Connecticut", "Delaware", "District of Columbia",
+    "Florida", "Georgia", "Guam", "Hawaii", "Idaho",
+    "Illinois", "Indiana", "Iowa", "Kansas", "Kentucky",
+    "Louisiana", "Maine", "Maryland", "Massachusetts", "Michigan",
+    "Minnesota", "Mississippi", "Missouri", "Montana", "Nebraska",
+    "Nevada", "New Hampshire", "New Jersey", "New Mexico", "New York",
+    "North Carolina", "North Dakota", "Northern Marianas Islands", "Ohio", "Oklahoma",
+    "Oregon", "Pennsylvania", "Puerto Rico", "Rhode Island", "South Carolina",
+    "South Dakota", "Tennessee", "Texas", "Utah", "Vermont",
+    "Virginia", "Virgin Islands", "Washington", "West Virginia", "Wisconsin",
+    "Wyoming")
+
+  private def corpusDF(xs: Seq[String]) =
+    xs.zipWithIndex.map { case (t, i) => (f"c$i%06d", t) }.toDF("clip_id", "transcript")
+
+  private def pipeline(xs: Seq[String], conf: FuzzyConf = FuzzyConf.default) =
+    FuzzyPipeline(spark, corpusDF(xs), "clip_id", "transcript", conf)
+
+  private def probesDF(ps: Seq[String]) =
+    ps.zipWithIndex.map { case (p, i) => (s"q$i", p) }.toDF("query_id", "query")
+
+  private def runFind(p: FuzzyPipeline, probes: Seq[String], minScore: Double = 0.33)
+      : Map[String, List[(Double, String)]] = {
+    val byId = probes.zipWithIndex.map { case (q, i) => (s"q$i", q) }.toMap
+    p.findMin(minScore, probesDF(probes))
+      .collect()
+      .toList
+      .map(r => (byId(r.getString(0)), (r.getDouble(1), r.getString(2))))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2))
+      .toMap
+      .withDefaultValue(Nil)
+  }
+
+  private def assertSameMatches(
+      actual: List[(Double, String)],
+      expected: List[(Double, String)]): Unit = {
+    val a = actual.sortBy { case (s, m) => (m, s) }
+    val e = expected.sortBy { case (s, m) => (m, s) }
+    a.map(_._2) shouldBe e.map(_._2)
+    a.zip(e).foreach { case ((s, _), (es, _)) => s shouldBe es +- 1e-9 }
+  }
+
+  test("find over states == oracle goldens (with Levenshtein)") {
+    val p = pipeline(states)
+    val oracle = FuzzySetRef.fromList(states)
+    val probes = Seq(
+      "Burger Islands", "Why-oh-me-ing", "Connect a cat", "Transylvania",
+      "CanOfSauce", "Alaska", "Alaskanbraskansas", "wyome", "Louisianaland",
+      "ia", "flaska", "washing tun", "new jersey")
+    val got = runFind(p, probes)
+    probes.foreach { q => assertSameMatches(got(q), oracle.find(q)) }
+  }
+
+  test("find over states == oracle (no Levenshtein, minScore cascade)") {
+    val conf = FuzzyConf(useLevenshtein = false)
+    val p = pipeline(states, conf)
+    val oracle = FuzzySetRef.emptySet(2, 3, useLevenshtein = false).addMany(states)
+    val probes = Seq("homeland", "connectedcut", "oregano", "akeloxasas",
+      "alaskansas", "South", "penicillivania", "Michisota", "New Mix",
+      "Waioming", "Landland", "zzzz")
+    val got = runFind(p, probes)
+    probes.foreach { q => assertSameMatches(got(q), oracle.find(q)) }
+  }
+
+  test("find honours custom gram range (2,4) like oracle") {
+    val conf = FuzzyConf(gramLo = 2, gramHi = 4)
+    val p = pipeline(states, conf)
+    val oracle = FuzzySetRef.emptySet(2, 4, useLevenshtein = true).addMany(states)
+    val probes = Seq("Alaskansas", "Transylvania")
+    val got = runFind(p, probes)
+    probes.foreach { q => assertSameMatches(got(q), oracle.find(q)) }
+  }
+
+  test("exact short-circuit: only the exact match is returned") {
+    val p = pipeline(states)
+    val got = runFind(p, Seq("alaska"))
+    got("alaska") shouldBe List((1.0, "Alaska"))
+  }
+
+  test("findOne/closestMatch return best-per-probe") {
+    val p = pipeline(Seq("Jurassic Park", "Terminator", "The Matrix"))
+    val best = p
+      .closestMatch(probesDF(Seq("percolator")))
+      .as[(String, String)]
+      .collect()
+      .toMap
+    best("q0") shouldBe "Terminator"
+  }
+
+  test("inspection: values/size/isEmpty with exact-dup collapsing") {
+    val p = pipeline(Seq("bork", "bork", "bork", "cork"))
+    p.size shouldBe 2
+    p.isEmpty shouldBe false
+    p.values.as[String].collect().toSet shouldBe Set("bork", "cork")
+  }
+
+  // ---- dedup path ---------------------------------------------------------
+
+  /** Deterministic near-dup corpus: base phrases from the states vocabulary
+    * plus planted exact copies, single-char typos, and token drops
+    * (FIXTURES.md §B kinds a/b/c).
+    */
+  private def plantedCorpus(n: Int, seed: Long): (Seq[String], Seq[(Int, Int)]) = {
+    val rng = new scala.util.Random(seed)
+    val vocab = states.map(_.toLowerCase)
+    val base = (0 until n).map { _ =>
+      Seq.fill(3 + rng.nextInt(4))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val pairs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    base.foreach { t =>
+      val i = out.length
+      out += t
+      if (rng.nextDouble() < 0.3) {
+        val kind = rng.nextInt(3)
+        val dup = kind match {
+          case 0 => t // exact copy
+          case 1 => // single-char typo
+            val pos = rng.nextInt(t.length)
+            t.updated(pos, if (t(pos) == 'a') 'e' else 'a')
+          case 2 => // drop last token
+            t.split(' ').dropRight(1).mkString(" ")
+        }
+        if (dup.nonEmpty) {
+          pairs += ((i, out.length))
+          out += dup
+        }
+      }
+    }
+    (out.toSeq, pairs.toSeq)
+  }
+
+  private def norm2(a: String, b: String) = if (a < b) (a, b) else (b, a)
+
+  /** Reference-semantics oracle edge set over a corpus: exact-key pairs plus
+    * the fuzzy cascade per distinct key (self excluded after ranking, as a
+    * true self-query would behave).
+    */
+  private def oracleEdgeSet(corpus: Seq[String], ids: Seq[String]): Set[(String, String)] = {
+    val oracle = FuzzySetRef.fromList(corpus)
+    val keyToFirst = scala.collection.mutable.LinkedHashMap[String, Int]()
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      keyToFirst.getOrElseUpdate(t.toLowerCase, i)
+    }
+    val edges = scala.collection.mutable.Set[(String, String)]()
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val f = keyToFirst(t.toLowerCase)
+      if (f != i) edges += norm2(ids(f), ids(i))
+    }
+    keyToFirst.keys.foreach { k =>
+      val res = (oracle.gramSizeUpper to oracle.gramSizeLower by -1).iterator
+        .map(n => oracle.getMatches(k, 0.33, n).filter(_._2.toLowerCase != k))
+        .find(_.nonEmpty)
+        .getOrElse(Nil)
+      res.foreach { case (_, matched) =>
+        edges += norm2(ids(keyToFirst(k)), ids(keyToFirst(matched.toLowerCase)))
+      }
+    }
+    edges.toSet
+  }
+
+  test("exhaustive dedup == reference-semantics oracle edge set, exactly") {
+    val (corpus, _) = plantedCorpus(250, seed = 7L)
+    val ids = corpus.indices.map(i => f"c$i%06d")
+    val p = pipeline(corpus)
+    val expected = oracleEdgeSet(corpus, ids)
+    val got = p
+      .dedupEdgesExhaustive()
+      .select("a_id", "b_id")
+      .as[(String, String)]
+      .collect()
+      .map { case (a, b) => norm2(a, b) }
+      .toSet
+    val missed = expected -- got
+    val extra = got -- expected
+    withClue(s"missed=${missed.take(5)} extra=${extra.take(5)} of ${expected.size}: ") {
+      missed shouldBe empty
+      extra shouldBe empty
+    }
+  }
+
+  test("scale-path dedup recall >= 0.99 on planted near-duplicate pairs") {
+    val (corpus, planted) = plantedCorpus(400, seed = 7L)
+    val ids = corpus.indices.map(i => f"c$i%06d")
+    val p = pipeline(corpus)
+    val expected = planted.map { case (a, b) => norm2(ids(a), ids(b)) }.toSet
+    val got = p
+      .dedupEdges()
+      .select("a_id", "b_id")
+      .as[(String, String)]
+      .collect()
+      .map { case (a, b) => norm2(a, b) }
+      .toSet
+    // planted partners can collapse into the same item (exact copies) —
+    // credit an edge if both sides land in the same connected component
+    val comp = p.clusters().as[(String, String)].collect().toMap
+    val missed = expected.filterNot { case (a, b) =>
+      got.contains((a, b)) || comp(a) == comp(b)
+    }
+    val recall = 1.0 - missed.size.toDouble / math.max(expected.size, 1)
+    withClue(s"missed ${missed.take(5)} of ${expected.size} planted pairs: ") {
+      recall should be >= 0.99
+    }
+  }
+
+  test("clusters: exact + fuzzy dups land in one component") {
+    val corpus = Seq(
+      "north dakota and maine", // c000000
+      "north dakota and maine", // exact dup of 0
+      "north dakota and main", // typo dup of 0
+      "completely different words here entirely", // singleton, far away
+      "kentucky colorado utah vermont oregon" // singleton
+    )
+    val p = pipeline(corpus)
+    val comp = p.clusters().as[(String, String)].collect().toMap
+    comp("c000001") shouldBe comp("c000000")
+    comp("c000002") shouldBe comp("c000000")
+    comp("c000003") should not be comp("c000000")
+    comp("c000004") should not be comp("c000003")
+    comp.size shouldBe 5
+  }
+
+  test("checkpoint/resume: second run reuses tables and is byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val corpus = Seq("alpha beta gamma", "alpha beta gamma", "alpha beta gamm", "other thing")
+    val p1 = FuzzyPipeline(spark, corpusDF(corpus), "clip_id", "transcript",
+      FuzzyConf(), Some(dir))
+    val r1 = p1.clusters().as[(String, String)].collect().sorted
+    // resume: new pipeline object, same dir — must not recompute (mtimes fixed)
+    val meta = java.nio.file.Paths.get(dir, "items", "_graft_meta.json")
+    val mtime1 = java.nio.file.Files.getLastModifiedTime(meta)
+    val p2 = FuzzyPipeline(spark, corpusDF(corpus), "clip_id", "transcript",
+      FuzzyConf(), Some(dir))
+    val r2 = p2.clusters().as[(String, String)].collect().sorted
+    r2 shouldBe r1
+    java.nio.file.Files.getLastModifiedTime(meta) shouldBe mtime1
+    // config change invalidates
+    val p3 = FuzzyPipeline(spark, corpusDF(corpus), "clip_id", "transcript",
+      FuzzyConf(gramHi = 4), Some(dir))
+    p3.size shouldBe 3
+    java.nio.file.Files.getLastModifiedTime(meta) should not be mtime1
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sql
+
+import graft.SparkTestSession
+import graft.text.Gram
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Parity: the codegen'd column compositions must agree exactly with the
+  * pure kernels (which are themselves golden-tested against the reference).
+  */
+class FunctionsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val fixtures = Seq(
+    "charade", "xxx", "xxxx", "xxxxxxx", "bananasananas",
+    "aFl1pP!.,nG FL0^ppy+", "XrF,!TNrATaNTNTNT", "Destroido Corp.",
+    "Smarty Pants", "trentsauntsrestaurant",
+    "buffalo buffalo buffalo buffalo buffalo buffalo",
+    "café au lait", "", "!!!", "a", "ab",
+    "tab\there", "comma, stays", "North Dakota")
+
+  test("normText column == Gram.normalized") {
+    val out = fixtures.toDF("s").select($"s", functions.normText($"s") as "n")
+      .as[(String, String)].collect().toMap
+    fixtures.foreach { s => out(s) shouldBe Gram.normalized(s) }
+  }
+
+  test("shingles column == Gram.grams for n=2..4") {
+    (2 to 4).foreach { n =>
+      val out = fixtures.toDF("s")
+        .select($"s", functions.shingles($"s", n) as "g")
+        .as[(String, Seq[String])].collect().toMap
+      fixtures.foreach { s => out(s) shouldBe Gram.grams(s, n) }
+    }
+  }
+
+  test("levNormSim column == Gram.levenshteinNorm (Spec.hs:758-771 pairs)") {
+    val pairs = Seq(
+      ("hello", "yello"), ("fellow", "yello"), ("propeller", "teller"),
+      ("balloon", "electron"), ("technology", "logic"), ("sawa", "sawa"),
+      ("fez", "baz"), ("", ""), ("", "abc"))
+    val out = pairs.toDF("a", "b")
+      .select($"a", $"b", functions.levNormSim($"a", $"b") as "d")
+      .as[(String, String, Double)].collect()
+    out.foreach { case (a, b, d) =>
+      d shouldBe Gram.levenshteinNorm(a, b) +- 1e-12
+    }
+  }
+
+  test("h60 yields 60-bit non-negative longs, stable") {
+    val out = fixtures.filter(_.nonEmpty).toDF("s")
+      .select(functions.h60($"s", 1) as "h1", functions.h60($"s", 17) as "h2")
+      .as[(Long, Long)].collect()
+    out.foreach { case (h1, h2) =>
+      h1 should be >= 0L; h1 should be < (1L << 60)
+      h2 should be >= 0L; h2 should be < (1L << 60)
+    }
+  }
+
+  test("minhashSig: identical sets agree, disjoint sets almost surely differ") {
+    val df = Seq(
+      ("a", Seq("ab", "bc", "cd")),
+      ("b", Seq("cd", "ab", "bc", "ab")), // same SET as a (multiset differs)
+      ("c", Seq("xy", "yz", "zw"))
+    ).toDF("id", "grams")
+      .select($"id", functions.minhashSig($"grams", 16) as "sig")
+      .as[(String, Seq[Long])].collect().toMap
+    df("a") shouldBe df("b")
+    df("a") should not be df("c")
+    df("a").foreach { v => v should be >= 0L; v should be < functions.HashP }
+  }
+
+  test("bandKeys: equal signatures give equal band keys; band count right") {
+    val df = Seq(("a", Seq("ab", "bc", "cd")), ("b", Seq("ab", "bc", "cd")))
+      .toDF("id", "grams")
+      .select($"id",
+        functions.bandKeys(functions.minhashSig($"grams", 12), 4, 3) as "bands")
+      .as[(String, Seq[String])].collect().toMap
+    df("a") shouldBe df("b")
+    df("a").length shouldBe 4
+    df("a").zipWithIndex.foreach { case (k, i) => k should startWith(s"$i:") }
+  }
+
+  test("simhash60: near-identical gram multisets land at small hamming distance") {
+    val base = Gram.grams("the quick brown fox jumps over the lazy dog", 3)
+    val near = Gram.grams("the quick brown fox jumps over the lazy dot", 3)
+    val far = Gram.grams("completely unrelated text with other grams entirely", 3)
+    val out = Seq(("base", base), ("near", near), ("far", far))
+      .toDF("id", "grams")
+      .select($"id", functions.simhash60($"grams") as "sh")
+      .as[(String, Long)].collect().toMap
+    out.values.foreach { v => v should be >= 0L; v should be < (1L << 60) }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(out("base"), out("near")) should be < ham(out("base"), out("far"))
+    ham(out("base"), out("near")) should be <= 12
+  }
+
+  test("rollingFingerprint: deterministic, order-sensitive, empty -> 0") {
+    val out = Seq("abc", "acb", "abc", "").toDF("s")
+      .select($"s", functions.rollingFingerprint($"s") as "fp")
+      .as[(String, Long)].collect()
+    val m = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    m("abc").length shouldBe 1
+    m("abc").head should not be m("acb").head
+    m("").head shouldBe 0L
+    // cross-check the arithmetic against a driver-side fold
+    val expected = "abc".foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % functions.HashP)
+    m("abc").head shouldBe expected
+  }
+
+  test("cosineSim matches driver-side double fold") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(0.5f, -1.0f, 2.0f)
+    val out = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(functions.cosineSim($"a", $"b") as "c").as[Double].head()
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    val exp = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    out shouldBe exp +- 1e-12
+  }
+}
