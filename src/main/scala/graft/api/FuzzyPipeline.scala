@@ -36,20 +36,22 @@ final case class FuzzyPipeline(
   private def ckpt(name: String)(df: => DataFrame): DataFrame =
     checkpointDir match {
       case Some(dir) => TableIO.checkpoint(spark, s"$dir/$name", hash, name)(df)
-      case None => df
+      // without a checkpoint dir the index tables are consumed from several
+      // join branches (probe side, item side, candidate passes) —
+      // materialize so the shingle/signature work runs once, not per
+      // branch. localCheckpoint (row-based, MEMORY_AND_DISK) beats
+      // .cache() here: the columnar in-memory builder is ~3x slower on
+      // array-typed columns (signatures), measured at bench scale
+      case None => df.localCheckpoint()
     }
 
-  /** The six index tables (SURVEY.md §1.2), checkpointed when configured. */
-  lazy val index: IndexTables = {
-    val raw = IndexBuild(input, idCol, textCol, conf)
-    raw.copy(
-      items = ckpt("items")(raw.items),
-      members = ckpt("members")(raw.members),
-      postings = ckpt("postings")(raw.postings),
-      norms = ckpt("norms")(raw.norms),
-      sigs = ckpt("sigs")(raw.sigs),
-      bands = ckpt("bands")(raw.bands))
-  }
+  /** The six index tables (SURVEY.md §1.2); each stage materializes through
+    * `ckpt` and downstream stages consume the MATERIALIZED table (see
+    * IndexBuild scaladoc — deriving from pre-materialization plans would
+    * recompute the upstream lineage once per table).
+    */
+  lazy val index: IndexTables =
+    IndexBuild(input, idCol, textCol, conf, (stage, df) => ckpt(stage)(df))
 
   // ---- reference query API (Simple.hs) ---------------------------------
 
@@ -72,6 +74,28 @@ final case class FuzzyPipeline(
 
   def closestMatch(probes: DataFrame): DataFrame = closestMatchMin(0.33, probes)
 
+  // ---- reference insertion API (Simple.hs:256-323) ----------------------
+
+  /** `addMany`/`add` (Simple.hs:268-315): a new pipeline over the union of
+    * this corpus and `more` (same id/text columns). Lazy like everything
+    * else; on Iceberg this is a MERGE INTO of the delta instead. First
+    * writer (minimum id) still wins per key.
+    */
+  def withAdded(more: DataFrame): FuzzyPipeline =
+    copy(input = input.select(idCol, textCol).unionByName(more.select(idCol, textCol)))
+
+  /** `addManyToSet`'s inserted-sublist (Simple.hs:293-301): which of the
+    * new rows introduced a key not already present.
+    */
+  def insertedBy(more: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lower
+    more
+      .select(col(idCol).cast("string").as("clip_id"), col(textCol).as("original"))
+      .withColumn("key", lower(col("original")))
+      .join(index.items.select("key"), Seq("key"), "left_anti")
+      .select("clip_id", "original")
+  }
+
   // ---- reference inspection API (Simple.hs:329-348) ---------------------
 
   def values: DataFrame = index.items.select("original")
@@ -80,8 +104,13 @@ final case class FuzzyPipeline(
 
   // ---- dedup pipeline (the scale generalization) -------------------------
 
-  /** Candidate pairs from all generation passes (LSH + SimHash), distinct. */
-  def candidatePairs(): DataFrame = {
+  /** Candidate pairs from all generation passes (LSH + SimHash), distinct.
+    * Memoized: each stage materializes once per pipeline instance
+    * (localCheckpoint, unlike the cache manager, does not dedupe repeated
+    * identical plans).
+    */
+  def candidatePairs(): DataFrame = candidatesMemo
+  private lazy val candidatesMemo: DataFrame = {
     val lsh = Candidates.lshPairs(index.bands, conf.maxBandBucket)
     val sim = Candidates.simhashPairs(index.sigs, maxHamming = 3, conf.maxBandBucket)
     ckpt("candidates")(lsh.unionByName(sim).distinct())
@@ -92,10 +121,13 @@ final case class FuzzyPipeline(
     * Candidate generation via LSH + SimHash, verification via the
     * pair-restricted reference scoring kernel.
     */
-  def dedupEdges(): DataFrame = {
+  def dedupEdges(): DataFrame = edgesMemo
+  private lazy val edgesMemo: DataFrame = {
     val exact = Candidates.exactEdges(index.members)
     val fuzzy = FindStage.verifyPairs(candidatePairs(), index, conf.minScore)
-    ckpt("edges")(exact.unionByName(fuzzy))
+    val substr = Candidates.substringPairs(
+      index.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)
+    ckpt("edges")(exact.unionByName(fuzzy).unionByName(substr))
   }
 
   /** Verified duplicate edges with FULL reference fidelity — every item
@@ -105,7 +137,8 @@ final case class FuzzyPipeline(
     * quadratic in frequent-gram collisions, so this is the validation /
     * small-corpus mode — `dedupEdges` is the scale path.
     */
-  def dedupEdgesExhaustive(): DataFrame = {
+  def dedupEdgesExhaustive(): DataFrame = exhaustiveMemo
+  private lazy val exhaustiveMemo: DataFrame = {
     val exact = Candidates.exactEdges(index.members)
     val fuzzy = FindStage.selfFindEdges(index, conf.minScore)
     ckpt("edges_exhaustive")(exact.unionByName(fuzzy))

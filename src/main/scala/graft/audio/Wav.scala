@@ -1,0 +1,111 @@
+package graft.audio
+
+/** Minimal PCM16/WAV codec + SNR math, pure JVM (the sandbox has no audio
+  * libs; the input table's `codec` is fixed to "pcm_s16le", FIXTURES.md §B,
+  * so a RIFF/WAVE parser is the entire real decode path — nothing stubbed).
+  *
+  * Synthesis is deterministic: clip i = sine(440*(1 + i mod 7) Hz) + seeded
+  * uniform noise at ~40 dB SNR, so the per-row invariant (decoded PCM
+  * allclose at SNR >= 30 dB vs the clean signal, BASELINE.json input_hint)
+  * holds by construction and any corruption in the byte path breaks it.
+  */
+object Wav {
+
+  val CodecName = "pcm_s16le"
+  private val Amp = 0.8 * Short.MaxValue
+
+  /** Noise amplitude for a target SNR vs a sine of amplitude Amp:
+    * sig_rms = Amp/sqrt(2); uniform(+-a) rms = a/sqrt(3);
+    * a = sig_rms * sqrt(3) / 10^(snrDb/20).
+    */
+  private def noiseAmp(snrDb: Double): Double =
+    (Amp / math.sqrt(2.0)) * math.sqrt(3.0) / math.pow(10.0, snrDb / 20.0)
+
+  /** Clean sine for clip index i (no noise) — the invariant's reference. */
+  def cleanSignal(i: Long, srHz: Int, durMs: Int): Array[Double] = {
+    val n = (srHz.toLong * durMs / 1000).toInt
+    val freq = 440.0 * (1 + (i % 7))
+    Array.tabulate(n)(t => Amp * math.sin(2.0 * math.Pi * freq * t / srHz))
+  }
+
+  /** Synthesize clip i's samples: clean sine + seeded noise at `snrDb`. */
+  def synthSamples(i: Long, srHz: Int, durMs: Int, noiseSeed: Long, snrDb: Double = 40.0): Array[Short] = {
+    val clean = cleanSignal(i, srHz, durMs)
+    val rng = new java.util.Random(noiseSeed)
+    val na = noiseAmp(snrDb)
+    clean.map { c =>
+      val v = c + (rng.nextDouble() * 2.0 - 1.0) * na
+      math.max(Short.MinValue.toDouble, math.min(Short.MaxValue.toDouble, math.rint(v))).toShort
+    }
+  }
+
+  /** RIFF/WAVE container around mono pcm_s16le samples. */
+  def toWav(samples: Array[Short], srHz: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(srHz)
+    buf.putInt(srHz * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a mono pcm_s16le WAV: returns (sampleRate, samples). Walks the
+    * chunk list (fmt may not be adjacent to data in the wild).
+    */
+  def fromWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44, "truncated WAV")
+    val riff = new Array[Byte](4); buf.get(riff)
+    require(new String(riff, "US-ASCII") == "RIFF", "not RIFF")
+    buf.getInt() // riff size
+    val wave = new Array[Byte](4); buf.get(wave)
+    require(new String(wave, "US-ASCII") == "WAVE", "not WAVE")
+    var srHz = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && (srHz < 0 || samples == null)) {
+      val id = new Array[Byte](4); buf.get(id)
+      val size = buf.getInt()
+      new String(id, "US-ASCII") match {
+        case "fmt " =>
+          val fmt = buf.getShort(); val ch = buf.getShort()
+          require(fmt == 1 && ch == 1, s"unsupported wav fmt=$fmt channels=$ch")
+          srHz = buf.getInt()
+          buf.position(buf.position() + size - 8)
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var k = 0
+          while (k < n) { samples(k) = buf.getShort(); k += 1 }
+        case _ =>
+          buf.position(buf.position() + size)
+      }
+    }
+    require(srHz > 0 && samples != null, "missing fmt/data chunk")
+    (srHz, samples)
+  }
+
+  /** SNR of `test` against reference signal `ref`, in dB. */
+  def snrDb(ref: Array[Double], test: Array[Double]): Double = {
+    require(ref.length == test.length, s"length mismatch ${ref.length} vs ${test.length}")
+    var sig = 0.0
+    var err = 0.0
+    var k = 0
+    while (k < ref.length) {
+      sig += ref(k) * ref(k)
+      val e = test(k) - ref(k)
+      err += e * e
+      k += 1
+    }
+    if (err == 0.0) Double.PositiveInfinity else 10.0 * math.log10(sig / err)
+  }
+}

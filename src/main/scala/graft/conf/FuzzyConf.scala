@@ -24,16 +24,33 @@ package graft.conf
   * @param minhashHashes  number of MinHash permutations (= bands * rowsPerBand)
   * @param minhashBands   LSH band count
   * @param rowsPerBand    MinHash rows per band; candidate-probability curve
-  *                       is 1 - (1 - j^r)^b for Jaccard j
+  *                       is 1 - (1 - j^r)^b for Jaccard j. Defaults b=21,
+  *                       r=6 put the S-curve threshold at (1/21)^(1/6) ~
+  *                       0.60: catch probability 0.998 at j = 0.8 (a
+  *                       single-char edit of a short transcript keeps
+  *                       j >= 0.8), while vocabulary-level similarity
+  *                       (j ~ 0.4) collides with probability < 0.09 —
+  *                       token-drop/append dups at lower j are covered by
+  *                       the exact-substring pass, byte-identical ones by
+  *                       the exact pass
   * @param simhashBits    SimHash fingerprint width (64 = one long)
   * @param seed           base seed for all hash families (deterministic)
   * @param maxBandBucket  cap on rows sharing one LSH band value before the
-  *                       bucket is declared hot and salted/cut (skew guard)
+  *                       bucket is declared hot and dropped (skew guard —
+  *                       a bucket this size is a near-constant band, not a
+  *                       duplicate cluster; byte-identical floods are
+  *                       connected by the exact pass instead, and pair
+  *                       fanout stays O(buckets * cap^2) instead of
+  *                       O(corpus^2))
   * @param maxPostingsPerGram stop-list threshold: grams whose document
   *                       frequency exceeds this are dropped from the
   *                       candidate join (they only add quadratic pairs);
   *                       verification still uses full gram vectors
   * @param shufflePartitions value for spark.sql.shuffle.partitions
+  * @param substringPrefixLen join-key prefix length for the substring-dup
+  *                       pass (suffix-array stand-in, SURVEY §7.4)
+  * @param substringMinRatio minimum len(contained)/len(container) for a
+  *                       substring pair to count as a duplicate edge
   */
 final case class FuzzyConf(
     gramLo: Int = 2,
@@ -41,14 +58,16 @@ final case class FuzzyConf(
     useLevenshtein: Boolean = true,
     minScore: Double = 0.33,
     topKRerank: Int = 50,
-    minhashHashes: Int = 192,
-    minhashBands: Int = 64,
-    rowsPerBand: Int = 3,
+    minhashHashes: Int = 126,
+    minhashBands: Int = 21,
+    rowsPerBand: Int = 6,
     simhashBits: Int = 64,
     seed: Long = 42L,
-    maxBandBucket: Int = 2000,
+    maxBandBucket: Int = 100,
     maxPostingsPerGram: Int = 10000,
-    shufflePartitions: Int = 32
+    shufflePartitions: Int = 32,
+    substringPrefixLen: Int = 16,
+    substringMinRatio: Double = 0.5
 ) {
   require(gramLo >= 2, "gram size must be at least 2 (Internal.hs:193)")
   require(gramHi >= gramLo, "gramHi must be >= gramLo")

@@ -1,0 +1,94 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column
+  * (array<float>) — the training-data-pipeline operator set the reference
+  * corpus lacks but a 100 TB corpus needs next to transcript dedup.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (the correctness baseline): a probe x corpus
+  *    nested-loop with the dot product as a codegen'd array expression —
+  *    fine for probe sets, quadratic for self-joins;
+  *  - random-hyperplane LSH (the scale path): bucket = sign bits of
+  *    projections onto `planes` pseudo-random hyperplanes; only same-bucket
+  *    pairs are scored, turning the quadratic scan into a bucket equi-join.
+  *
+  * Determinism/oracle parity: embeddings are quantized to integer
+  * milli-units and plane entries are integers derived from md5
+  * (entry(p,d) = md5_60("p:d") mod 2001 - 1000), so projections and dot
+  * products are EXACT integer sums — DuckDB reproduces buckets and ranking
+  * bit-for-bit.
+  */
+object Ann {
+
+  /** array<float> -> array<long> milli-quantized (exact in both engines). */
+  def quantize(v: Column): Column =
+    transform(v, e => round(e.cast("double") * 1000, 0).cast("long"))
+
+  /** Integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from quantized vectors (double division at the very end). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") / (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Plane entry (p,d): md5-derived int in [-1000, 1000]. Computed
+    * driver-side (java MessageDigest md5 == Spark md5 == DuckDB md5) and
+    * shipped as literals, so executors pay zero hashing per row.
+    */
+  def planeEntry(p: Int, d: Int): Long =
+    graft.sql.PortableHash.h60(s"$p:$d", 1) % 2001 - 1000
+
+  /** Sign-bit bucket id over `planes` hyperplanes for a quantized vector:
+    * bit p set iff sum_d v[d] * entry(p,d) >= 0. The plane matrix is a
+    * literal array-of-arrays (constant-folded into codegen).
+    */
+  def lshBucket(vq: Column, dim: Int, planes: Int): Column = {
+    val matrix = array((0 until planes).map { p =>
+      array((0 until dim).map(d => lit(planeEntry(p, d))): _*)
+    }: _*)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vq, element_at(matrix, p + 1), (v, e) => v * e),
+        lit(0L),
+        (s, x) => s + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k: probes (query_id, qv) x corpus (vec_id, v),
+    * both quantized. Returns (query_id, item_id, cosine) with rank <= k.
+    */
+  def bruteTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val cos = probes
+      .join(corpus, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    cos
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("item_id"), col("cosine"))
+  }
+
+  /** LSH-bucketed top-k: same contract, but only same-bucket candidates are
+    * scored (equi-join on bucket instead of the nested loop).
+    */
+  def bucketedTopK(probes: DataFrame, corpus: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {
+    val pb = probes.withColumn("bucket", lshBucket(col("qv"), dim, planes))
+    val cb = corpus.withColumn("bucket", lshBucket(col("v"), dim, planes))
+    val cos = pb
+      .join(cb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("v")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    cos
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("item_id"), col("cosine"))
+  }
+}

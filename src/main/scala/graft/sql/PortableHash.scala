@@ -1,0 +1,83 @@
+package graft.sql
+
+/** Driver/executor-side implementation of the portable md5 hash family —
+  * value-identical to the column expressions in [[functions]] (md5 of
+  * UTF-8, first/second 15 hex chars -> 60-bit longs, mod P double-hashing)
+  * and therefore to the DuckDB oracle SQL.
+  *
+  * Exists because the expression form of the signature computation cannot
+  * keep the per-gram md5 work out of the per-component lambda: Catalyst
+  * inlines single-use projection aliases back into the consuming lambda
+  * (CollapseProject), and higher-order functions re-evaluate their array
+  * argument on every outer element — measured 25x slowdown on the index
+  * build. One tight Scala pass per row is both exact and fast; the column
+  * versions remain for query-scale use and are parity-tested against this.
+  */
+object PortableHash {
+
+  val P: Long = functions.HashP
+
+  private val HexChars = "0123456789abcdef".toCharArray
+  private val digestTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hex(s: String): String = {
+    val md = digestTL.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 60-bit long from 15 hex chars at offset 1 or 17 (1-based, like the
+    * SQL substr).
+    */
+  def h60(s: String, off: Int): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(off - 1, off + 14), 16)
+
+  /** MinHash signature over the DISTINCT gram set + SimHash over the gram
+    * MULTISET, one md5 pass per gram occurrence.
+    */
+  def sigAndSimhash(grams: Seq[String], numHashes: Int): (Array[Long], Long) = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val balance = new Array[Long](60)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    grams.foreach { g =>
+      val hex = md5Hex(g)
+      val h1full = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      // simhash uses every occurrence (multiset weights)
+      var b = 0
+      while (b < 60) {
+        balance(b) += (if (((h1full >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      // minhash uses the distinct set
+      if (seen.add(g)) {
+        val h1 = h1full % P
+        val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16) % P
+        var k = 0
+        var hk = h1
+        while (k < numHashes) {
+          if (hk < sig(k)) sig(k) = hk
+          k += 1
+          hk = (h1 + k * h2) % P
+        }
+      }
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (balance(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    (sig, sim)
+  }
+}

@@ -41,10 +41,18 @@ object functions {
   def enclosed(c: Column): Column = F.concat(F.lit("-"), c, F.lit("-"))
 
   /** Character n-grams over the normalized, hyphen-enclosed input
-    * (Internal.hs:191-197). Guarded so an input shorter than n yields an
-    * empty array (Spark's `sequence(1, 0)` would otherwise DESCEND).
+    * (Internal.hs:191-197) — the native codegen expression
+    * [[ShinglesExpr]] (see its scaladoc for why the built-in
+    * transform/sequence/substr composition is ~70x slower).
     */
-  def shingles(c: Column, n: Int): Column = {
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShinglesExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
+
+  /** The pure-built-in composition of the same kernel — kept for the
+    * expression-parity tests and as documentation of the declarative form.
+    */
+  def shinglesBuiltin(c: Column, n: Int): Column = {
     require(n >= 2, "gram size must be at least 2 (Internal.hs:193)")
     val s = enclosed(normText(c))
     F.when(
@@ -72,21 +80,42 @@ object functions {
     F.conv(F.substring(F.md5(c), off, 15), 16, 10).cast("long")
   }
 
-  /** MinHash signature (array of numHashes longs) over the DISTINCT gram
-    * set. hash_k(g) = (h1(g) + k * h2(g)) mod P with h1/h2 from one md5 per
-    * gram (Kirsch-Mitzenmacher). One md5 per distinct gram, then H
-    * multiply-adds — not H md5s.
+  /** Per-distinct-gram hash pairs (h1, h2) — the md5 work of a MinHash
+    * signature, exactly once per gram. MATERIALIZE THIS AS A COLUMN (its
+    * own withColumn/select) before feeding it to [[minhashFromHashes]]:
+    * if the md5 expression is nested inside the signature lambda instead,
+    * Catalyst re-evaluates it for every one of the numHashes outputs
+    * (measured 25x slowdown on the index build).
     */
-  def minhashSig(gramsCol: Column, numHashes: Int): Column = {
-    val hp = F.transform(
+  def gramHashPairs(gramsCol: Column): Column =
+    F.transform(
       F.array_distinct(gramsCol),
       g => F.struct((h60(g, 1) % HashP).as("h1"), (h60(g, 17) % HashP).as("h2")))
+
+  /** MinHash signature from a materialized [[gramHashPairs]] column:
+    * hash_k(g) = (h1(g) + k * h2(g)) mod P (Kirsch-Mitzenmacher).
+    */
+  def minhashFromHashes(hashPairs: Column, numHashes: Int): Column =
     F.transform(
       F.sequence(F.lit(0), F.lit(numHashes - 1)),
       k =>
         F.array_min(
-          F.transform(hp, h => (h.getField("h1") + k * h.getField("h2")) % HashP)))
-  }
+          F.transform(hashPairs, h => (h.getField("h1") + k * h.getField("h2")) % HashP)))
+
+  /** One-shot convenience for small/query-scale inputs; index builds use
+    * the two-step gramHashPairs -> minhashFromHashes split instead.
+    */
+  def minhashSig(gramsCol: Column, numHashes: Int): Column =
+    minhashFromHashes(gramHashPairs(gramsCol), numHashes)
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * components (stderr ~ sqrt(j(1-j)/H)).
+    */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    F.aggregate(
+      F.zip_with(sigA, sigB, (a, b) => F.when(a === b, 1).otherwise(0)),
+      F.lit(0),
+      (acc, x) => acc + x).cast("double") / F.size(sigA)
 
   /** LSH band keys: array of `bands` strings "<band>:<sig[b*r]>,...". A band
     * key equality <=> the r signature rows in that band all agree.
@@ -109,11 +138,18 @@ object functions {
     * sum_g (2*bit_b(h(g)) - 1) > 0. Built-ins only; DuckDB replicates with
     * list comprehensions + integer division.
     */
-  def simhash60(gramsCol: Column): Column = {
-    val hs = F.transform(gramsCol, g => h60(g, 1))
-    // bit_b(h) = (h mod 2^(b+1)) >= 2^b — exact long arithmetic throughout
-    // (shiftright only takes a literal shift; double division would lose
-    // bits above 2^53). pow2 literals indexed by the lambda variable.
+  /** Per-occurrence gram hashes (multiset!) — md5 work of SimHash, once
+    * per gram occurrence. Materialize as a column like [[gramHashPairs]].
+    */
+  def gramHashes(gramsCol: Column): Column =
+    F.transform(gramsCol, g => h60(g, 1))
+
+  /** SimHash from a materialized [[gramHashes]] column.
+    * bit_b(h) = (h mod 2^(b+1)) >= 2^b — exact long arithmetic throughout
+    * (shiftright only takes a literal shift; double division would lose
+    * bits above 2^53). pow2 literals indexed by the lambda variable.
+    */
+  def simhashFromHashes(hs: Column): Column = {
     val pow2 = F.array((0 to 60).map(b => F.lit(1L << b)): _*)
     F.aggregate(
       F.sequence(F.lit(0), F.lit(59)),
@@ -128,6 +164,9 @@ object functions {
         acc + F.when(balance > 0, p).otherwise(F.lit(0L))
       })
   }
+
+  /** One-shot convenience for query-scale inputs. */
+  def simhash60(gramsCol: Column): Column = simhashFromHashes(gramHashes(gramsCol))
 
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))

@@ -48,6 +48,57 @@ object Candidates {
       .distinct()
   }
 
+  /** Exact substring-containment pairs — the scoped stand-in for the north
+    * rule's suffix-array pass (SURVEY §7.4: "per-partition suffix grouping
+    * by fixed-length prefix" — documented approximation). A key `a` is a
+    * substring of key `b` iff some suffix of `b` starts with `a`; so join
+    * the length-L prefix of every suffix of b (= every L-gram of b)
+    * against the length-L prefix of a, then verify real containment. Keys
+    * shorter than L fall through to the gram/LSH passes (they are cheap
+    * there precisely because they are short). Hot prefixes are capped like
+    * LSH buckets.
+    *
+    * Emits (a_id=contained, b_id=container, kind="substr",
+    * score=len(a)/len(b)) for score >= minRatio.
+    */
+  def substringPairs(items: DataFrame, prefixLen: Int, minRatio: Double, maxBucket: Int): DataFrame = {
+    val keyed = items.select(col("item_id"), col("key"), length(col("key")).as("klen"))
+    val longK = keyed.filter(col("klen") >= prefixLen)
+    // every L-gram of the container key (offsets 1..len-L+1); ONLY
+    // (id, prefix) travels through the explode + distinct — the full keys
+    // rejoin after the candidate pairs are known (the exploded set is
+    // |corpus| x |key| rows; carrying key bodies through it would multiply
+    // the shuffle volume by the key length)
+    val containers = longK
+      .select(col("item_id").as("b_id"),
+        explode(
+          transform(
+            sequence(lit(1), col("klen") - (prefixLen - 1)),
+            i => col("key").substr(i, lit(prefixLen)))).as("pfx"))
+      .distinct()
+    val contained = longK
+      .select(col("item_id").as("a_id"), col("key").substr(lit(1), lit(prefixLen)).as("pfx"))
+    val okPfx = containers
+      .groupBy("pfx")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("pfx")
+    val candidatePairs = containers
+      .join(okPfx, Seq("pfx"))
+      .join(contained, Seq("pfx"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    candidatePairs
+      .join(longK.select(col("item_id").as("a_id"), col("key").as("a_key"), col("klen").as("a_len")), Seq("a_id"))
+      .join(longK.select(col("item_id").as("b_id"), col("key").as("b_key"), col("klen").as("b_len")), Seq("b_id"))
+      .filter(col("a_len") < col("b_len") && col("b_key").contains(col("a_key")))
+      .select(col("a_id"), col("b_id"),
+        (col("a_len").cast("double") / col("b_len")).as("score"))
+      .filter(col("score") >= minRatio)
+      .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
+  }
+
   /** Unordered candidate pairs from SimHash chunk collisions at
     * hamming distance <= maxHamming (pigeonhole over 4 x 15-bit chunks).
     */

@@ -35,24 +35,37 @@ object IndexBuild {
     * as one declarative plan: two shuffles (dedup groupBy, postings
     * groupBy); Catalyst prunes `bytes`/audio columns away because only
     * (idCol, textCol) are selected.
+    *
+    * `mat(stage, df)` materializes each stage table (parquet checkpoint or
+    * localCheckpoint) and its RESULT feeds the downstream stages — so
+    * norms build from the materialized postings, bands from the
+    * materialized sigs, etc. Deriving downstream tables from the
+    * pre-materialization plans instead would recompute the whole upstream
+    * lineage once per table (localCheckpoint and parquet round-trips,
+    * unlike .cache(), do not substitute into already-built plans).
     */
-  def apply(input: DataFrame, idCol: String, textCol: String, conf: FuzzyConf): IndexTables = {
+  def apply(
+      input: DataFrame,
+      idCol: String,
+      textCol: String,
+      conf: FuzzyConf,
+      mat: (String, DataFrame) => DataFrame = (_, df) => df): IndexTables = {
     val keyed = input
       .select(col(idCol).cast("string").as("clip_id"), col(textCol).as("original"))
       .withColumn("key", lower(col("original")))
 
-    val items = keyed
+    val items = mat("items", keyed
       .groupBy("key")
       .agg(
         min("clip_id").as("item_id"),
         min_by(col("original"), col("clip_id")).as("original"),
         count(lit(1)).as("n_members"))
-      .select("item_id", "key", "original", "n_members")
+      .select("item_id", "key", "original", "n_members"))
 
-    val members = keyed
+    val members = mat("members", keyed
       .select("clip_id", "key")
       .join(items.select("key", "item_id"), Seq("key"))
-      .select("clip_id", "item_id")
+      .select("clip_id", "item_id"))
 
     // one scan, both gram sizes: explode(array(struct(n, shingles(key,n))))
     val sized = items
@@ -64,23 +77,36 @@ object IndexBuild {
 
     // partial (map-side) + final hash agg — the distributed form of the
     // reference's per-insert postings merge (Internal.hs:129-136)
-    val postings = sized
+    val postings = mat("postings", sized
       .groupBy("gram_size", "gram", "item_id")
-      .agg(count(lit(1)).cast("int").as("cnt"))
+      .agg(count(lit(1)).cast("int").as("cnt")))
 
-    val norms = postings
+    val norms = mat("norms", postings
       .groupBy("item_id", "gram_size")
-      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("magnitude"))
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("magnitude")))
 
+    // signatures via one tight Scala pass per row (PortableHash scaladoc:
+    // the pure-expression form re-runs the md5s once per signature
+    // component — Catalyst inlines single-use aliases into the lambda);
+    // value-identical to the column expressions and the DuckDB oracle
+    val H = conf.minhashHashes
+    val sigUdf = udf { (grams: Seq[String]) =>
+      val (sig, sim) = graft.sql.PortableHash.sigAndSimhash(grams, H)
+      (sig.toSeq, sim)
+    }
+    // items whose normalized key is empty have no grams: no signature, no
+    // LSH (all-empty sigs would otherwise bucket together and pair up);
+    // byte-identical empties still dedup through the exact pass
     val g = gf.shingles(col("key"), conf.gramHi)
-    val sigs = items.select(
-      col("item_id"),
-      gf.minhashSig(g, conf.minhashHashes).as("sig"),
-      gf.simhash60(g).as("simhash"))
+    val sigs = mat("sigs", items
+      .select(col("item_id"), g.as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("item_id"), sigUdf(col("g")).as("ss"))
+      .select(col("item_id"), col("ss._1").as("sig"), col("ss._2").as("simhash")))
 
-    val bands = sigs.select(
+    val bands = mat("bands", sigs.select(
       col("item_id"),
-      explode(gf.bandKeys(col("sig"), conf.minhashBands, conf.rowsPerBand)).as("band_key"))
+      explode(gf.bandKeys(col("sig"), conf.minhashBands, conf.rowsPerBand)).as("band_key")))
 
     IndexTables(conf, items, members, postings, norms, sigs, bands)
   }

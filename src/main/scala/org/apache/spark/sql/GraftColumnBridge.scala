@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Package-private bridge: `classic.ExpressionUtils` (Column <-> Expression
+  * in Spark 4's ColumnNode world) is private[sql], and graft's custom
+  * Catalyst expressions need it to surface as Columns. Standard extension
+  * pattern for libraries that ship native expressions without a
+  * FunctionRegistry round-trip.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -240,6 +240,32 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     comp.size shouldBe 5
   }
 
+  test("substring pass: contained transcript links to its container") {
+    val corpus = Seq(
+      "alabama arkansas california colorado", // c000000: container
+      "alabama arkansas california", // c000001: prefix-contained (ratio 0.75)
+      "arkansas california colorado", // c000002: suffix-contained
+      "something else entirely different words") // c000003
+    val p = pipeline(corpus)
+    val substr = p.dedupEdges().filter($"kind" === "substr")
+      .select("a_id", "b_id").as[(String, String)].collect().toSet
+    substr should contain(("c000001", "c000000"))
+    substr should contain(("c000002", "c000000"))
+    substr.map(_._1) should not contain "c000003"
+  }
+
+  test("incremental add (withAdded/insertedBy) mirrors addMany semantics") {
+    val p = pipeline(Seq("alpha beta", "gamma delta"))
+    val more = Seq(("x1", "ALPHA BETA"), ("x2", "epsilon zeta")).toDF("clip_id", "transcript")
+    // inserted sublist: only the genuinely-new key (Simple.hs:293-301)
+    val inserted = p.insertedBy(more).as[(String, String)].collect().toMap
+    inserted.keySet shouldBe Set("x2")
+    // the grown pipeline contains both old and new values
+    val p2 = p.withAdded(more)
+    p2.size shouldBe 3
+    p2.values.as[String].collect().toSet shouldBe Set("alpha beta", "gamma delta", "epsilon zeta")
+  }
+
   test("checkpoint/resume: second run reuses tables and is byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val corpus = Seq("alpha beta gamma", "alpha beta gamma", "alpha beta gamm", "other thing")

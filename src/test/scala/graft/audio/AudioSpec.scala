@@ -1,0 +1,111 @@
+package graft.audio
+
+import graft.SparkTestSession
+import graft.api.FuzzyPipeline
+import graft.conf.FuzzyConf
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class WavSpec extends AnyFunSuite with Matchers {
+
+  test("WAV round-trip is byte-exact for samples and sample rate") {
+    val samples = Wav.synthSamples(3, 8000, 300, noiseSeed = 99L)
+    val bytes = Wav.toWav(samples, 8000)
+    val (sr, back) = Wav.fromWav(bytes)
+    sr shouldBe 8000
+    back shouldBe samples
+    bytes.length shouldBe 44 + samples.length * 2
+    new String(bytes.take(4), "US-ASCII") shouldBe "RIFF"
+  }
+
+  test("synthesized clip SNR vs clean signal is ~40 dB (>= 30 dB invariant)") {
+    val clean = Wav.cleanSignal(5, 16000, 500)
+    val noisy = Wav.synthSamples(5, 16000, 500, noiseSeed = 7L).map(_.toDouble)
+    val snr = Wav.snrDb(clean, noisy)
+    snr should be >= 35.0
+    snr should be <= 45.0
+  }
+
+  test("duplicate partners share the clean signal: pairwise SNR >= 30 dB") {
+    val a = Wav.synthSamples(8, 8000, 400, noiseSeed = 1L).map(_.toDouble)
+    val b = Wav.synthSamples(8, 8000, 400, noiseSeed = 2L).map(_.toDouble)
+    Wav.snrDb(a, b) should be >= 30.0
+  }
+
+  test("synthesis is deterministic") {
+    Wav.synthSamples(4, 8000, 200, 11L) shouldBe Wav.synthSamples(4, 8000, 200, 11L)
+    ClipSynth.clipAt(17, 42L).transcript shouldBe ClipSynth.clipAt(17, 42L).transcript
+    ClipSynth.clipAt(17, 42L).bytes shouldBe ClipSynth.clipAt(17, 42L).bytes
+  }
+
+  test("parser rejects garbage") {
+    an[Exception] should be thrownBy Wav.fromWav(Array[Byte](1, 2, 3))
+    an[Exception] should be thrownBy Wav.fromWav(("JUNK" + "x" * 60).getBytes)
+  }
+}
+
+class InvariantSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("per-row invariant holds on the synthesized table after a parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clips").toString
+    ClipSynth.table(spark, 60).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val checked = Invariant.check(back)
+    checked.count() shouldBe 60
+    checked.filter("not pcm_ok or not transcript_ok").count() shouldBe 0
+    val minSnr = checked.agg(org.apache.spark.sql.functions.min("snr_db")).as[Double].head()
+    minSnr should be >= 30.0
+  }
+
+  test("corrupted audio bytes FAIL the invariant (negative control)") {
+    import org.apache.spark.sql.functions._
+    val corrupt = udf { (b: Array[Byte]) =>
+      // zero out a chunk of PCM data — decodes fine, SNR collapses
+      val c = b.clone(); java.util.Arrays.fill(c, 100, c.length, 0.toByte); c
+    }
+    val clips = ClipSynth.table(spark, 10).withColumn("bytes", corrupt(col("bytes")))
+    Invariant.check(clips).filter("pcm_ok").count() shouldBe 0
+  }
+
+  test("transcript mutation FAILS the invariant (negative control)") {
+    import org.apache.spark.sql.functions._
+    val clips = ClipSynth.table(spark, 10)
+      .withColumn("transcript", concat(col("transcript"), lit("X")))
+    Invariant.check(clips).filter("transcript_ok").count() shouldBe 0
+  }
+}
+
+class ClipDedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("clip-table dedup: planted pairs land in one component, recall >= 0.99") {
+    val n = 2000L
+    val clips = ClipSynth.table(spark, n, includeAudio = false)
+    val p = FuzzyPipeline(spark, clips, "clip_id", "transcript", FuzzyConf())
+    val comp = p.clusters().as[(String, String)].collect().toMap
+    val planted = ClipSynth.plantedPairs(n)
+    planted should not be empty
+    val missed = planted.filterNot { case (a, b) =>
+      comp(f"clip_$a%012d") == comp(f"clip_$b%012d")
+    }
+    val recall = 1.0 - missed.size.toDouble / planted.size
+    withClue(s"missed ${missed.take(5)} of ${planted.size}: ") {
+      recall should be >= 0.99
+    }
+  }
+
+  test("index build prunes the audio bytes column at the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clips-scan").toString
+    ClipSynth.table(spark, 30).write.mode("overwrite").parquet(dir)
+    val clips = spark.read.parquet(dir)
+    // the raw (pre-materialization) plan shows the parquet scan; pipeline
+    // tables themselves are RDD scans after localCheckpoint
+    val raw = graft.stage.IndexBuild(clips, "clip_id", "transcript", FuzzyConf())
+    val plan = raw.items.queryExecution.executedPlan.toString
+    plan should include("ReadSchema")
+    plan should not include "bytes"
+  }
+}

@@ -1,0 +1,73 @@
+package graft.embed
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AnnSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic synthetic embeddings: a few well-separated directions
+    * with small perturbations — near-neighbors are known by construction.
+    */
+  private def vecs(n: Int, dim: Int = 16): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(5L)
+    (0 until n).map { i =>
+      val dir = i % 4
+      val base = Array.tabulate(dim)(d => if (d % 4 == dir) 1.0f else 0.05f)
+      val v = base.map(x => x + (rng.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v.toSeq)
+    }
+  }
+
+  private def corpusDF(n: Int) =
+    vecs(n).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Ann.quantize(col("embedding")).as("v"))
+
+  test("bruteTopK: neighbors come from the same direction group") {
+    val c = corpusDF(80)
+    val probes = c.filter(col("vec_id") < 4).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val top = Ann.bruteTopK(probes, c, k = 5).as[(Long, Long, Double)].collect()
+    top.length shouldBe 20
+    top.foreach { case (q, item, cos) =>
+      (item % 4) shouldBe (q % 4) // same planted direction
+      cos should be > 0.9
+      item should not be q
+    }
+  }
+
+  test("bucketedTopK agrees with brute force on planted near-neighbors") {
+    val c = corpusDF(80)
+    val probes = c.filter(col("vec_id") < 4).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val brute = Ann.bruteTopK(probes, c, 3).as[(Long, Long, Double)].collect()
+      .map { case (q, i, _) => (q, i) }.toSet
+    val bucketed = Ann.bucketedTopK(probes, c, dim = 16, planes = 6, 3)
+      .as[(Long, Long, Double)].collect().map { case (q, i, _) => (q, i) }.toSet
+    // same-direction vectors collide in sign-buckets with high probability;
+    // require >= 2/3 of brute-force neighbors recovered
+    val recall = (brute intersect bucketed).size.toDouble / brute.size
+    recall should be >= 0.66
+  }
+
+  test("plane entries are deterministic and bounded") {
+    Ann.planeEntry(0, 0) shouldBe Ann.planeEntry(0, 0)
+    (0 until 8).foreach { p =>
+      (0 until 16).foreach { d =>
+        val e = Ann.planeEntry(p, d)
+        e should be >= -1000L
+        e should be <= 1000L
+      }
+    }
+  }
+
+  test("lshBucket is stable and within 2^planes") {
+    val c = corpusDF(20).select(col("vec_id"), Ann.lshBucket(col("v"), 16, 6).as("b"))
+    val out = c.as[(Long, Long)].collect().toMap
+    out.values.foreach { b => b should be >= 0L; b should be < 64L }
+    val again = corpusDF(20).select(col("vec_id"), Ann.lshBucket(col("v"), 16, 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    again shouldBe out
+  }
+}

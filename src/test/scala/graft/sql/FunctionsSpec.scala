@@ -97,6 +97,38 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     ham(out("base"), out("near")) should be <= 12
   }
 
+  test("PortableHash.sigAndSimhash == column expressions (minhashSig/simhash60)") {
+    // inputs with at least one 3-gram (empty-normalized rows never get
+    // signatures: IndexBuild filters them out before the LSH passes)
+    val inputs = fixtures.filter(s => Gram.grams(s, 3).nonEmpty)
+    val byExpr = inputs.toDF("s")
+      .select($"s", functions.minhashSig(functions.shingles($"s", 3), 16) as "sig",
+        functions.simhash60(functions.shingles($"s", 3)) as "sh")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getLong(2))))
+      .toMap
+    inputs.foreach { s =>
+      val grams = Gram.grams(s, 3)
+      val (sig, sim) = PortableHash.sigAndSimhash(grams, 16)
+      byExpr(s)._1 shouldBe sig.toSeq
+      byExpr(s)._2 shouldBe sim
+    }
+  }
+
+  test("estJaccard tracks true jaccard within sampling error") {
+    val a = (1 to 60).map(i => s"g$i")
+    val b = (31 to 90).map(i => s"g$i") // true J = 30/90 = 1/3
+    val (sa, _) = PortableHash.sigAndSimhash(a, 128)
+    val (sb, _) = PortableHash.sigAndSimhash(b, 128)
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    est shouldBe (1.0 / 3.0) +- 0.15
+    val out = Seq((a, b)).toDF("a", "b")
+      .select(functions.estJaccard(
+        functions.minhashSig($"a", 128), functions.minhashSig($"b", 128)) as "j")
+      .as[Double].head()
+    out shouldBe est +- 1e-12
+  }
+
   test("rollingFingerprint: deterministic, order-sensitive, empty -> 0") {
     val out = Seq("abc", "acb", "abc", "").toDF("s")
       .select($"s", functions.rollingFingerprint($"s") as "fp")
