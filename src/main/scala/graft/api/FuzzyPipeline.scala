@@ -33,16 +33,24 @@ final case class FuzzyPipeline(
 
   private val hash = TableIO.confHash((conf, idCol, textCol))
 
+  /** Stages that are pure map-side projections of an already-materialized
+    * parent (postings/norms explode from items via GramCountsExpr, bands
+    * from sigs): storing them buys nothing — recompute is a cheap parallel
+    * map — and at bench scale the stored posting rows (|corpus| x |grams|)
+    * caused enough memory pressure that 32 cores ran SLOWER than 8.
+    * They are still written in checkpoint-dir mode (resume contract).
+    */
+  private val mapSideStages = Set("postings", "norms", "bands")
+
   private def ckpt(name: String)(df: => DataFrame): DataFrame =
     checkpointDir match {
       case Some(dir) => TableIO.checkpoint(spark, s"$dir/$name", hash, name)(df)
-      // without a checkpoint dir the index tables are consumed from several
-      // join branches (probe side, item side, candidate passes) —
-      // materialize so the shingle/signature work runs once, not per
-      // branch. localCheckpoint (row-based, MEMORY_AND_DISK) beats
-      // .cache() here: the columnar in-memory builder is ~3x slower on
-      // array-typed columns (signatures), measured at bench scale
-      case None => df.localCheckpoint()
+      // without a checkpoint dir, materialize the compute-heavy stages so
+      // the dedup/signature work runs once, not per consuming join branch.
+      // localCheckpoint (row-based, MEMORY_AND_DISK) beats .cache(): the
+      // columnar in-memory builder is ~3x slower on array-typed columns
+      // (signatures), measured at bench scale
+      case None => if (mapSideStages(name)) df else df.localCheckpoint()
     }
 
   /** The six index tables (SURVEY.md §1.2); each stage materializes through

@@ -49,6 +49,14 @@ object functions {
     org.apache.spark.sql.GraftColumnBridge.column(
       ShinglesExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
 
+  /** Reference `gramVector` (Internal.hs:161-164) as a native expression:
+    * array<struct<gram, cnt>> computed map-side — see GramCountsExpr for
+    * why this keeps the postings build shuffle-free.
+    */
+  def gramCounts(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      GramCountsExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
+
   /** The pure-built-in composition of the same kernel — kept for the
     * expression-parity tests and as documentation of the declarative form.
     */

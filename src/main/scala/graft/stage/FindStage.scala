@@ -40,10 +40,10 @@ object FindStage {
       .select("query_id", "qkey")
 
     val fuzzy = cascade(rest, idx, minScore, excludeSelf = false) { (remaining, n) =>
+      // map-side gram counts (GramCountsExpr) — no groupBy per probe
       remaining
-        .select(col("query_id"), explode(gf.shingles(col("qkey"), n)).as("gram"))
-        .groupBy("query_id", "gram")
-        .agg(count(lit(1)).cast("int").as("qcnt"))
+        .select(col("query_id"), explode(gf.gramCounts(col("qkey"), n)).as("e"))
+        .select(col("query_id"), col("e.gram").as("gram"), col("e.cnt").as("qcnt"))
     }
     exact.unionByName(fuzzy.drop("matched_id"))
   }
@@ -90,7 +90,23 @@ object FindStage {
       val qg = qgrams(remaining, n)
       val qnorm = qg.groupBy("query_id").agg(sqrt(sum(col("qcnt") * col("qcnt"))).as("qmag"))
 
-      val post = idx.postings.filter(col("gram_size") === n).drop("gram_size")
+      // frequent-gram stop-list (SURVEY §4 O1 / §7.4): a gram appearing in
+      // more than maxPostingsPerGram items turns this equi-join quadratic
+      // ("-t" at 10^12 rows is a petabyte of join output) while carrying
+      // almost no cosine discrimination. Drop such grams from the JOIN
+      // only — magnitudes stay full, so scores for retained grams are
+      // unchanged; below the threshold (default 10k) behavior is exactly
+      // the reference's. Documented divergence above it.
+      val post0 = idx.postings.filter(col("gram_size") === n).drop("gram_size")
+      val post =
+        if (conf.maxPostingsPerGram > 0) {
+          val ok = post0
+            .groupBy("gram")
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") <= conf.maxPostingsPerGram)
+            .select("gram")
+          post0.join(ok, Seq("gram"), "left_semi")
+        } else post0
       val dots = qg
         .join(post, Seq("gram"))
         .groupBy("query_id", "item_id")

@@ -67,23 +67,26 @@ object IndexBuild {
       .join(items.select("key", "item_id"), Seq("key"))
       .select("clip_id", "item_id"))
 
-    // one scan, both gram sizes: explode(array(struct(n, shingles(key,n))))
+    // one scan, both gram sizes, NO SHUFFLE: gram counts are local to each
+    // row (GramCountsExpr scaladoc — the naive explode+groupBy build would
+    // shuffle |corpus| x |grams| rows to recount what each row knows), so
+    // postings and magnitudes are pure map-side projections of items
     val sized = items
       .select(
         col("item_id"),
         explode(array(conf.sizes.map(n =>
-          struct(lit(n).as("gram_size"), gf.shingles(col("key"), n).as("grams"))): _*)).as("sg"))
-      .select(col("item_id"), col("sg.gram_size").as("gram_size"), explode(col("sg.grams")).as("gram"))
+          struct(lit(n).as("gram_size"), gf.gramCounts(col("key"), n).as("gc"))): _*)).as("sg"))
+      .select(col("item_id"), col("sg.gram_size").as("gram_size"), col("sg.gc").as("gc"))
 
-    // partial (map-side) + final hash agg — the distributed form of the
-    // reference's per-insert postings merge (Internal.hs:129-136)
     val postings = mat("postings", sized
-      .groupBy("gram_size", "gram", "item_id")
-      .agg(count(lit(1)).cast("int").as("cnt")))
+      .select(col("item_id"), col("gram_size"), explode(col("gc")).as("e"))
+      .select(col("item_id"), col("gram_size"), col("e.gram").as("gram"), col("e.cnt").as("cnt")))
 
-    val norms = mat("norms", postings
-      .groupBy("item_id", "gram_size")
-      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("magnitude")))
+    val norms = mat("norms", sized
+      .select(col("item_id"), col("gram_size"),
+        sqrt(aggregate(col("gc"), lit(0L),
+          (acc, x) => acc + x.getField("cnt").cast("long") * x.getField("cnt"))
+          .cast("double")).as("magnitude")))
 
     // signatures via one tight Scala pass per row (PortableHash scaladoc:
     // the pure-expression form re-runs the md5s once per signature
