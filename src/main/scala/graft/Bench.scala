@@ -3,19 +3,34 @@ package graft
 import graft.api.FuzzyPipeline
 import graft.audio.{ClipSynth, Invariant}
 import graft.conf.FuzzyConf
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Round benchmark. Prints ONE JSON line:
   * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
-  *  "dedup":{...},"audio":{...}}
+  *  "errors":{...},"dedup":{...},"audio":{...}}
   *
   * The dedup block evidences the north rule's two-cluster-size criterion
-  * in-sandbox (BASELINE.md): the identical dedup job (index -> LSH/SimHash
-  * candidates -> verify -> connected components) over the identical
-  * synthesized clip table at two parallelism levels — local[N] vs
-  * local[4N] standing in for N vs 4N executors; efficiency =
-  * (throughput_4N / throughput_N) / 4. The audio block times the
-  * decode-PCM + SNR invariant over WAV-carrying rows.
+  * in-sandbox (BASELINE.md): the identical flagship job (per-row audio
+  * invariant + index -> LSH/SimHash/substring candidates -> verify ->
+  * connected components) over the identical synthesized clip table at two
+  * parallelism levels — local[N] vs local[4N] standing in for N vs 4N
+  * executors; efficiency = (throughput_4N / throughput_N) / 4.
+  *
+  * Methodology (round-2 fixes for the round-1 inverse-scaling artifact):
+  *  - an UNTIMED warmup run of the same job shape precedes both timed
+  *    phases, so JIT compilation and the JVM-global Janino codegen cache
+  *    don't bill their one-time cost to whichever phase runs first;
+  *  - each timed phase gets a FRESH SparkSession (round 1 ran the 4N phase
+  *    in a session pre-loaded with 29 inventory queries' cached blocks and
+  *    gave N a clean one);
+  *  - the flagship includes the north star's per-row invariant (decoded-PCM
+  *    SNR >= 30 dB + transcript equality) over the audio-carrying table,
+  *    exactly as the production job must — and reports dup-pair RECALL
+  *    against the planted ground truth at bench size, not just a cluster
+  *    count;
+  *  - query failures are NOT swallowed: per-query error names land in the
+  *    JSON and the bench exits nonzero.
   */
 object Bench {
 
@@ -24,7 +39,8 @@ object Bench {
       .builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -38,58 +54,118 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** The flagship job: dedup clusters over n synthesized clips. */
-  private def dedupRows(spark: SparkSession, n: Long): Long =
-    FuzzyPipeline(
+  /** The flagship north-star job over n synthesized clips: (1) per-row
+    * invariant verification over the audio-carrying table (decode PCM, SNR
+    * >= 30 dB, transcript byte-equality), (2) near-duplicate detection +
+    * clustering over the transcript column. The dedup stages read the
+    * transcript-only projection — on real Iceberg input Catalyst prunes
+    * `bytes` at the scan; ClipSynth synthesizes inside a map, so the
+    * pruning is explicit (`includeAudio = false`).
+    * Returns (invariant passes, cluster rows, clusters DF for recall).
+    */
+  private def flagship(spark: SparkSession, n: Long): (Long, Long, DataFrame) = {
+    val audioPass = Invariant
+      .check(ClipSynth.table(spark, n))
+      .filter("pcm_ok and transcript_ok")
+      .count()
+    val clusters = FuzzyPipeline(
       spark,
       ClipSynth.table(spark, n, includeAudio = false),
       "clip_id",
       "transcript",
-      FuzzyConf()).clusters().count()
+      FuzzyConf()).clusters()
+    (audioPass, clusters.count(), clusters)
+  }
+
+  /** Dup-pair recall vs the planted ground truth: fraction of planted pairs
+    * whose two clips carry the same component label. Computed distributed
+    * from the synthesis plan's own ground-truth columns (base_idx,
+    * dup_kind) — no driver-side materialization of the pair list.
+    */
+  private def recallOf(spark: SparkSession, clusters: DataFrame, n: Long): (Long, Long) = {
+    val planted = ClipSynth
+      .table(spark, n, includeAudio = false)
+      .filter(col("dup_kind") =!= "base")
+      .select(
+        format_string("clip_%012d", col("base_idx")).as("a_id"),
+        col("clip_id").as("b_id"))
+    val la = clusters.select(col("clip_id").as("a_id"), col("component").as("ca"))
+    val lb = clusters.select(col("clip_id").as("b_id"), col("component").as("cb"))
+    val total = planted.count()
+    val hit = planted
+      .join(la, Seq("a_id"))
+      .join(lb, Seq("b_id"))
+      .filter(col("ca") === col("cb"))
+      .count()
+    (hit, total)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresN = math.max(cores4N / 4, 1)
-    val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "100000").toLong
+    val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "400000").toLong
     val nAudio = sys.env.getOrElse("SPARK_GRAFT_AUDIO_CLIPS", "2000").toLong
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // phase 1 at 4N cores: operator inventory, dedup flagship, audio invariant
-    val spark4 = session(cores4N)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, secs) = timed(
-        try fn(spark4, sfDir).count()
-        catch { case _: Throwable => -1L })
-      name -> secs
+    // phase 0: warmup (untimed) — same job shape at 5% size
+    locally {
+      val w = session(coresN)
+      flagship(w, math.max(nClips / 20, 1000))
+      w.stop()
     }
-    val (rows, secs4) = timed(dedupRows(spark4, nClips))
+
+    // phase 1: flagship at N cores, fresh session
+    val sparkN = session(coresN)
+    val ((passN, _, _), secsN) = timed(flagship(sparkN, nClips))
+    sparkN.stop()
+
+    // phase 2: identical flagship at 4N cores, fresh session; recall after
+    // the timed region (the clusters table is already materialized)
+    val spark4 = session(cores4N)
+    val ((pass4, rows, clusters4), secs4) = timed(flagship(spark4, nClips))
+    val (hit, planted) = recallOf(spark4, clusters4, nClips)
+    spark4.stop()
+
+    // phase 3: operator inventory + standalone audio invariant, fresh session
+    val sparkQ = session(cores4N)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(sparkQ, sfDir).count()
+      catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     val (audioOk, audioSecs) = timed {
       Invariant
-        .check(ClipSynth.table(spark4, nAudio))
+        .check(ClipSynth.table(sparkQ, nAudio))
         .filter("pcm_ok and transcript_ok")
         .count()
     }
-    spark4.stop()
+    sparkQ.stop()
 
-    // phase 2: identical dedup job at N cores (fresh session, same JVM)
-    val sparkN = session(coresN)
-    val (_, secsN) = timed(dedupRows(sparkN, nClips))
-    sparkN.stop()
-
-    val thr4 = rows / secs4
-    val thrN = rows / secsN
+    val thr4 = nClips / secs4
+    val thrN = nClips / secsN
     val eff = (thr4 / thrN) / (cores4N.toDouble / coresN)
+    val recall = if (planted == 0) 1.0 else hit.toDouble / planted
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + secs4
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + secsN + secs4 + audioSecs
     val dedup =
-      s"""{"rows":$rows,"clips_per_sec_4N":$thr4,"clips_per_sec_N":$thrN,""" +
+      s"""{"rows":$nClips,"clusters":$rows,"recall":$recall,"planted_pairs":$planted,""" +
+        s""""recall_hits":$hit,"invariant_pass_N":$passN,"invariant_pass_4N":$pass4,""" +
+        s""""clips_per_sec_4N":$thr4,"clips_per_sec_N":$thrN,""" +
         s""""scaling_efficiency":$eff,"cores_N":$coresN,"cores_4N":$cores4N,""" +
         s""""secs_N":$secsN,"secs_4N":$secs4}"""
     val audio =
       s"""{"clips":$nAudio,"invariant_pass":$audioOk,"secs":$audioSecs,""" +
         s""""clips_per_sec":${nAudio / audioSecs}}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedup,"audio":$audio}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
+        s""""sf":"$sfDir","dedup":$dedup,"audio":$audio}""")
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

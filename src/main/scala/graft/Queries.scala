@@ -160,7 +160,9 @@ object Queries {
           .agg(count(lit(1)).as("cnt"))
         val q = g.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("query_id"), col("gram"), col("cnt").as("qcnt"))
-        q.join(g, Seq("gram"))
+        // probe grams are 2% of the corpus: broadcast so the corpus gram
+        // table is never shuffled for the lookup join
+        q.hint("broadcast").join(g, Seq("gram"))
           .groupBy(col("query_id"), col("doc_id").as("item_id"))
           .agg(sum(col("qcnt") * col("cnt")).as("dot"))
           .orderBy("query_id", "item_id")
@@ -180,7 +182,7 @@ object Queries {
         val nrm = g.groupBy("doc_id").agg(sqrt(sum(col("cnt") * col("cnt"))).as("mag"))
         val q = g.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("query_id"), col("gram"), col("cnt").as("qcnt"))
-        val dots = q.join(g, Seq("gram"))
+        val dots = q.hint("broadcast").join(g, Seq("gram"))
           .groupBy(col("query_id"), col("doc_id").as("item_id"))
           .agg(sum(col("qcnt") * col("cnt")).as("dot"))
         val cos = dots
@@ -214,7 +216,7 @@ object Queries {
         val nrm = g.groupBy("doc_id").agg(sqrt(sum(col("cnt") * col("cnt"))).as("mag"))
         val q = g.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("query_id"), col("gram"), col("cnt").as("qcnt"))
-        val dots = q.join(g, Seq("gram"))
+        val dots = q.hint("broadcast").join(g, Seq("gram"))
           .groupBy(col("query_id"), col("doc_id").as("item_id"))
           .agg(sum(col("qcnt") * col("cnt")).as("dot"))
         val cos = dots
@@ -251,7 +253,11 @@ object Queries {
     ("q_find",
       (s, dir) => {
         val d = docs(s, dir)
-        val pipe = FuzzyPipeline(s, d, "doc_id", "text", FuzzyConf())
+        // stop-list OFF (maxPostingsPerGram = 0): the DuckDB oracle models
+        // the reference exactly and has no stop-list; at sf<=0.1 no gram's
+        // df approaches the 10k default anyway, so this pins parity at ANY
+        // corpus size instead of silently diverging past 10k df
+        val pipe = FuzzyPipeline(s, d, "doc_id", "text", FuzzyConf(maxPostingsPerGram = 0))
         val probes = d.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").cast("string").as("query_id"),
             concat(lower(col("text")), lit(" zz")).as("query"))
@@ -501,29 +507,33 @@ object Queries {
         |order by query_id, item_id""".stripMargin),
 
     // LSH-bucketed ANN (the scale path: bucket equi-join replaces the
-    // quadratic scan); buckets from md5-derived integer hyperplanes
+    // quadratic scan); buckets from md5-derived integer hyperplanes.
+    // MULTI-BAND: 3 independent 8-plane bucketings OR'd together (global
+    // plane index g = band*8 + p), candidates deduped before scoring —
+    // recall is tunable by adding bands at linear cost
     ("q_embed_lsh_topk",
       (s, dir) => {
         val q = emb(s, dir).select(col("vec_id"), graft.embed.Ann.quantize(col("embedding")).as("v"))
         val probes = q.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         graft.embed.Ann
-          .bucketedTopK(probes, q, dim = 64, planes = 8, k = 5)
+          .bucketedTopK(probes, q, dim = 64, planes = 8, k = 5, bands = 3)
           .select(col("query_id"), col("item_id"), round(col("cosine"), 6).as("cosine"))
           .orderBy("query_id", "item_id")
       },
       s"""with q as (select vec_id, list_transform(embedding, e -> round(e::DOUBLE*1000)::BIGINT) as v
          |           from embeddings),
-         |planes as (select p, d, (('0x'||substr(md5(p::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 2001 - 1000) as e
-         |           from unnest(range(0,8)) t(p), unnest(range(0,64)) s(d)),
+         |planes as (select g, (g//8) as band, (g%8) as p, d,
+         |                  (('0x'||substr(md5(g::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 2001 - 1000) as e
+         |           from unnest(range(0,24)) t(g), unnest(range(0,64)) s(d)),
          |ex as (select vec_id, unnest(v) as val, unnest(range(0, len(v))) as d from q),
-         |proj as (select vec_id, p, sum(val*e)::BIGINT as pr
-         |         from ex join planes using (d) group by vec_id, p),
-         |bkt as (select vec_id, sum(case when pr >= 0 then (1::BIGINT<<p::INTEGER) else 0 end)::BIGINT as bucket
-         |        from proj group by vec_id),
+         |proj as (select vec_id, band, p, sum(val*e)::BIGINT as pr
+         |         from ex join planes using (d) group by vec_id, band, p),
+         |bkt as (select vec_id, band, sum(case when pr >= 0 then (1::BIGINT<<p::INTEGER) else 0 end)::BIGINT as bucket
+         |        from proj group by vec_id, band),
          |nrm as (select vec_id, sqrt(sum(val*val)) as nv from ex group by vec_id),
-         |cand as (select a.vec_id as query_id, b.vec_id as item_id
-         |         from bkt a join bkt b on a.bucket = b.bucket and a.vec_id <> b.vec_id
+         |cand as (select distinct a.vec_id as query_id, b.vec_id as item_id
+         |         from bkt a join bkt b on a.band = b.band and a.bucket = b.bucket and a.vec_id <> b.vec_id
          |         where a.vec_id % 100 = 0),
          |dots as (select query_id, item_id, sum(p.val*c.val)::BIGINT as dot
          |         from cand join ex p on p.vec_id = cand.query_id
@@ -560,7 +570,12 @@ object Queries {
             round(col("f._1"), 3).as("rms"), round(col("f._2"), 1).as("est_freq_hz"))
           .orderBy("clip_id")
       },
-      null),
+      // expected values from the independent in-memory oracle
+      // (graft.oracle.AudioOracle — fresh decoder + same-IEEE-order math);
+      // __GRAFT_EXPECTED__ is substituted with the dump dir by Verify
+      """select clip_id, sr_hz, rms, est_freq_hz
+        |from read_parquet('__GRAFT_EXPECTED__/q_audio_features.parquet/*.parquet')
+        |order by clip_id""".stripMargin),
 
     // ---- generic relational coverage (joins/aggs/windows/sorts) ----------
 
@@ -619,18 +634,29 @@ object Queries {
         graft.audio.Invariant
           .check(graft.audio.ClipSynth.table(s, 200))
           .orderBy("clip_id"),
-      null),
+      // independent oracle: AudioOracle.expectedInvariant (fresh
+      // fixed-layout RIFF decoder, same-IEEE-order SNR sum)
+      """select clip_id, snr_db, pcm_ok, transcript_ok
+        |from read_parquet('__GRAFT_EXPECTED__/q_audio_invariant.parquet/*.parquet')
+        |order by clip_id""".stripMargin),
 
-    // full dedup pipeline over the input_hint-shaped clip table: clusters
-    // of exact/typo/token-drop near-duplicate transcripts
+    // dedup + clustering over the input_hint-shaped clip table in FULL
+    // reference-fidelity (exhaustive) mode, so the cluster labels are
+    // oracle-checkable against the in-memory reference semantics
+    // (AudioOracle.expectedClusters: FuzzySetRef matching + sequential
+    // union-find). The LSH/SimHash/substr scale path is oracle-covered
+    // piecewise (q_minhash_sig/q_lsh_bands/q_lsh_pairs/q_simhash) and
+    // end-to-end by the bench's planted-pair recall at 400k clips.
     ("q_audio_dedup",
       (s, _) => {
         val clips = graft.audio.ClipSynth.table(s, 2000, includeAudio = false)
         FuzzyPipeline(s, clips, "clip_id", "transcript", FuzzyConf())
-          .clusters()
+          .clustersExhaustive()
           .orderBy("clip_id")
       },
-      null),
+      """select clip_id, component
+        |from read_parquet('__GRAFT_EXPECTED__/q_audio_dedup.parquet/*.parquet')
+        |order by clip_id""".stripMargin),
 
     ("q_events_daily",
       (s, dir) =>

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // independent in-memory expected values for the audio queries (WAV
+    // bytes / reference-semantics clusters are not SQL-expressible over the
+    // driver's parquet tables); their oracle SQL reads these back via
+    // read_parquet — written FIRST so the oracle can always see them
+    val expDir = new java.io.File(outDir, "expected").getAbsolutePath
+    graft.oracle.AudioOracle.writeExpected(spark, expDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +41,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_EXPECTED__", expDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

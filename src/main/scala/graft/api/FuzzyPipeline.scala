@@ -49,8 +49,12 @@ final case class FuzzyPipeline(
       // the dedup/signature work runs once, not per consuming join branch.
       // localCheckpoint (row-based, MEMORY_AND_DISK) beats .cache(): the
       // columnar in-memory builder is ~3x slower on array-typed columns
-      // (signatures), measured at bench scale
-      case None => if (mapSideStages(name)) df else df.localCheckpoint()
+      // (signatures), measured at bench scale. LAZY (eager = false): the
+      // plan is truncated now but blocks persist on first consuming job —
+      // so stages a query never touches (e.g. sigs/members for a plain
+      // findMin) are never computed, and no standalone count() job is paid
+      // per stage (round 1 ran one eager job per stage even when unused).
+      case None => if (mapSideStages(name)) df else df.localCheckpoint(false)
     }
 
   /** The six index tables (SURVEY.md §1.2); each stage materializes through
@@ -92,6 +96,11 @@ final case class FuzzyPipeline(
   def withAdded(more: DataFrame): FuzzyPipeline =
     copy(input = input.select(idCol, textCol).unionByName(more.select(idCol, textCol)))
 
+  /** Symbolic alias for [[withAdded]] — the reference's `>+<` infix
+    * (Simple.hs:278-287): `pipeline >+< moreRows`.
+    */
+  def >+<(more: DataFrame): FuzzyPipeline = withAdded(more)
+
   /** `addManyToSet`'s inserted-sublist (Simple.hs:293-301): which of the
     * new rows introduced a key not already present.
     */
@@ -119,8 +128,10 @@ final case class FuzzyPipeline(
     */
   def candidatePairs(): DataFrame = candidatesMemo
   private lazy val candidatesMemo: DataFrame = {
-    val lsh = Candidates.lshPairs(index.bands, conf.maxBandBucket)
-    val sim = Candidates.simhashPairs(index.sigs, maxHamming = 3, conf.maxBandBucket)
+    val lsh = Candidates.lshPairs(
+      index.bands, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+    val sim = Candidates.simhashPairs(
+      index.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
     ckpt("candidates")(lsh.unionByName(sim).distinct())
   }
 
@@ -159,6 +170,20 @@ final case class FuzzyPipeline(
     val edges = dedupEdges().select("a_id", "b_id")
     val vertices = index.members.select(col("clip_id").as("id"))
     ckpt("clusters")(
+      Cluster
+        .connectedComponents(vertices, edges)
+        .select(col("id").as("clip_id"), col("component")))
+  }
+
+  /** [[clusters]] over the EXHAUSTIVE (full reference-fidelity) edge set —
+    * bit-identical to clustering the in-memory reference's own match
+    * results, so it is oracle-checkable end to end. Validation /
+    * small-corpus mode; `clusters()` is the 10^12 path.
+    */
+  def clustersExhaustive(): DataFrame = {
+    val edges = dedupEdgesExhaustive().select("a_id", "b_id")
+    val vertices = index.members.select(col("clip_id").as("id"))
+    ckpt("clusters_exhaustive")(
       Cluster
         .connectedComponents(vertices, edges)
         .select(col("id").as("clip_id"), col("component")))

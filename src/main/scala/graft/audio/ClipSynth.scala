@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Deterministic synthesis of the driver-mandated input table
   * (BASELINE.json input_hint: clip_id string, bytes binary, sr_hz int32,
   * dur_ms int32, codec string, transcript string) with planted
-  * near-duplicate ground truth (FIXTURES.md §B): a seeded ~10% of base rows
-  * get a partner derived by (a) exact copy, (b) single-char typo,
-  * (c) last-token drop. Duplicate partners share the clean base signal
+  * near-duplicate ground truth (FIXTURES.md §B): a seeded ~20% of base rows
+  * get exactly ONE partner derived by (a) exact copy, (b) single-char typo,
+  * (c) last-token drop — so ~10% of all rows are planted partners.
+  * Duplicate partners share the clean base signal
   * (same base index) with independent noise, so decoded-PCM SNR within a
   * pair stays >= ~37 dB — above the 30 dB invariant.
   *
@@ -118,7 +119,7 @@ object ClipSynth {
   /** Planted duplicate pairs (a_idx < b_idx) implied by the row plan. */
   def plantedPairs(n: Long, seed: Long = 42L): Seq[(Long, Long)] =
     (0L until n).flatMap { i =>
-      val c = clipAt(i, seed)
+      val c = clipAt(i, seed, includeAudio = false) // pair plan needs no WAV bytes
       if (c.dup_kind != "base" && c.base_idx != i) Some((c.base_idx, i)) else None
     }
 }

@@ -35,13 +35,21 @@ package graft.conf
   *                       the exact pass
   * @param simhashBits    SimHash fingerprint width (64 = one long)
   * @param seed           base seed for all hash families (deterministic)
-  * @param maxBandBucket  cap on rows sharing one LSH band value before the
-  *                       bucket is declared hot and dropped (skew guard —
-  *                       a bucket this size is a near-constant band, not a
-  *                       duplicate cluster; byte-identical floods are
-  *                       connected by the exact pass instead, and pair
-  *                       fanout stays O(buckets * cap^2) instead of
-  *                       O(corpus^2))
+  * @param maxBandBucket  rows sharing one LSH band value before the bucket
+  *                       is declared HOT: hot buckets switch from the
+  *                       direct in-bucket self-join to SALTED pair
+  *                       generation (north rule: "salted repartitioning
+  *                       for skewed shingle bands") — per-task work stays
+  *                       bounded by saltChunk x bucket instead of bucket^2
+  *                       in a single task
+  * @param saltChunk      target members per salt chunk inside a hot bucket
+  * @param maxSaltedBucket buckets beyond even the salted regime are
+  *                       dropped: a bucket that size is a near-constant
+  *                       band (its pair count is quadratic no matter how
+  *                       it is partitioned), not a duplicate cluster;
+  *                       byte-identical floods still connect through the
+  *                       exact pass, near-dups through their other bands /
+  *                       SimHash / substring passes
   * @param maxPostingsPerGram stop-list threshold: grams whose document
   *                       frequency exceeds this are dropped from the
   *                       candidate join (they only add quadratic pairs);
@@ -64,6 +72,8 @@ final case class FuzzyConf(
     simhashBits: Int = 64,
     seed: Long = 42L,
     maxBandBucket: Int = 100,
+    saltChunk: Int = 64,
+    maxSaltedBucket: Int = 4096,
     maxPostingsPerGram: Int = 10000,
     shufflePartitions: Int = 32,
     substringPrefixLen: Int = 16,

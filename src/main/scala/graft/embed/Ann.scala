@@ -44,16 +44,15 @@ object Ann {
     graft.sql.PortableHash.h60(s"$p:$d", 1) % 2001 - 1000
 
   /** Sign-bit bucket id over `planes` hyperplanes for a quantized vector:
-    * bit p set iff sum_d v[d] * entry(p,d) >= 0. The plane matrix is a
-    * literal array-of-arrays (constant-folded into codegen).
+    * bit p set iff sum_d v[d] * entry(g,d) >= 0, with g = band*planes + p
+    * (so each band draws an INDEPENDENT set of hyperplanes from the same
+    * md5 family). The plane vectors are literal arrays (constant-folded).
     */
-  def lshBucket(vq: Column, dim: Int, planes: Int): Column = {
-    val matrix = array((0 until planes).map { p =>
-      array((0 until dim).map(d => lit(planeEntry(p, d))): _*)
-    }: _*)
+  def lshBucket(vq: Column, dim: Int, planes: Int, band: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeEntry(band * planes + p, d))): _*)
       val proj = aggregate(
-        zip_with(vq, element_at(matrix, p + 1), (v, e) => v * e),
+        zip_with(vq, plane, (v, e) => v * e),
         lit(0L),
         (s, x) => s + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -75,15 +74,40 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("item_id"), col("cosine"))
   }
 
-  /** LSH-bucketed top-k: same contract, but only same-bucket candidates are
-    * scored (equi-join on bucket instead of the nested loop).
+  /** LSH-bucketed top-k: same contract as [[bruteTopK]], but only
+    * same-bucket candidates are scored (equi-join on (band, bucket) instead
+    * of the nested loop). MULTI-BAND (round-2 fix — round 1 ran one band,
+    * whose recall at scale is low-or-giant-buckets with no middle ground):
+    * `bands` independent 2^planes-bucket partitionings; a pair is a
+    * candidate if it collides in ANY band, mirroring the MinHash band
+    * structure, so recall = 1 - (1 - p_agree^planes)^bands is tunable by
+    * adding bands at linear cost. Candidates are deduped on (query, item)
+    * BEFORE the vector join, so a pair colliding in several bands is
+    * scored once.
     */
-  def bucketedTopK(probes: DataFrame, corpus: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {
-    val pb = probes.withColumn("bucket", lshBucket(col("qv"), dim, planes))
-    val cb = corpus.withColumn("bucket", lshBucket(col("v"), dim, planes))
-    val cos = pb
-      .join(cb, Seq("bucket"))
+  def bucketedTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      planes: Int,
+      k: Int,
+      bands: Int = 3): DataFrame = {
+    def withBuckets(df: DataFrame, vcol: String, id: String): DataFrame =
+      df.select(
+        col(id),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), lshBucket(col(vcol), dim, planes, b).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val cand = withBuckets(probes, "qv", "query_id")
+      .join(withBuckets(corpus, "v", "vec_id"), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .distinct()
+    val cos = cand
+      .join(probes.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("v")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     cos

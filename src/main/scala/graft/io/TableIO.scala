@@ -54,14 +54,17 @@ object TableIO {
       compute.write.mode("overwrite").format(format).save(dir)
       val secs = (System.nanoTime() - t0) / 1e9
       val back = spark.read.format(format).load(dir)
-      // per-file lineage: rows per written file (file <-> task partition)
+      // per-file lineage in ONE scan: rows per written file (file <-> task
+      // partition at write time); the total is the sum of the per-file
+      // counts — no second pass over the table
       import org.apache.spark.sql.functions._
-      val perFile = back
+      val fileCounts = back
         .groupBy(input_file_name().as("file"))
         .count()
         .collect()
+      val perFile = fileCounts
         .map(r => s"""{"file":${jstr(baseName(r.getString(0)))},"rows":${r.getLong(1)}}""")
-      val total = back.count()
+      val total = fileCounts.map(_.getLong(1)).sum
       val json =
         s"""{"stage":${jstr(stage)},"status":"complete","conf_hash":"$cfgHash","rows":$total,""" +
           s""""write_secs":$secs,"format":"$format","partitions":[${perFile.mkString(",")}]}"""

@@ -28,13 +28,14 @@ object functions {
   val HashP: Long = 1000000007L
 
   /** Reference `normalized` (Internal.hs:204-211): lowercase, keep Unicode
-    * alphanumerics (L* and Nd/Nl/No), whitespace (Haskell isSpace: \t-\r,
-    * space separators) and ','.
+    * alphanumerics (L* and Nd/Nl/No), whitespace (Haskell isSpace: \t-\r
+    * plus category Zs ONLY — GHC does not treat Zl/Zp U+2028/U+2029 as
+    * space, so they are dropped) and ','.
     */
   def normText(c: Column): Column =
     F.regexp_replace(
       F.lower(c),
-      "[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}\\t\\n\\x0B\\f\\r\\p{Zs}\\p{Zl}\\p{Zp},]",
+      "[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}\\t\\n\\x0B\\f\\r\\p{Zs},]",
       "")
 
   /** `enclosedIn '-'` (Utils.hs:26-27). */

@@ -32,21 +32,70 @@ object Candidates {
         lit("exact").as("kind"),
         lit(1.0).as("score"))
 
-  /** Unordered candidate pairs (a_id < b_id) from LSH band collisions. */
-  def lshPairs(bands: DataFrame, maxBandBucket: Int): DataFrame = {
-    val okBuckets = bands
-      .groupBy("band_key")
+  /** All unordered (a_id < b_id) pairs of item_ids sharing a bucket key,
+    * with three skew regimes by bucket size m (north rule: "salted
+    * repartitioning for skewed shingle bands"):
+    *
+    *  - m <= cap: direct in-bucket self-join — at most ~cap^2 candidate
+    *    rows per bucket, fine inside one task;
+    *  - cap < m <= maxSalted: SALTED all-pairs — members split into
+    *    ceil(m/saltChunk) chunks by an id hash; the A side keeps its home
+    *    chunk, the B side is replicated to EVERY chunk, and the join key
+    *    becomes (bkey, chunk). Every unordered pair is still produced
+    *    exactly once (ordered pair (a,b) materializes only in a's home
+    *    chunk; a < b filter halves), but per-task work is bounded by
+    *    saltChunk x m instead of m^2 serializing in one task;
+    *  - m > maxSalted: dropped (see FuzzyConf.maxSaltedBucket — quadratic
+    *    pair volume no matter the partitioning; not a duplicate cluster).
+    *
+    * `keyed` must have columns (bkey, item_id).
+    */
+  private[stage] def bucketSelfPairs(
+      keyed: DataFrame,
+      cap: Int,
+      saltChunk: Int,
+      maxSalted: Int): DataFrame = {
+    val sizes = keyed
+      .groupBy("bkey")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBandBucket && col("bucket_n") > 1)
-      .select("band_key")
-    val ok = bands.join(okBuckets, Seq("band_key"))
-    val a = ok.select(col("band_key"), col("item_id").as("a_id"))
-    val b = ok.select(col("band_key"), col("item_id").as("b_id"))
-    a.join(b, Seq("band_key"))
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxSalted)
+    val withN = keyed.join(sizes, Seq("bkey"))
+
+    val small = withN.filter(col("bucket_n") <= cap)
+    val smallPairs = small
+      .select(col("bkey"), col("item_id").as("a_id"))
+      .join(small.select(col("bkey"), col("item_id").as("b_id")), Seq("bkey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-      .distinct()
+
+    val hot = withN
+      .filter(col("bucket_n") > cap)
+      .withColumn("n_chunks", ceil(col("bucket_n").cast("double") / saltChunk).cast("int"))
+    val hotA = hot.select(
+      col("bkey"),
+      pmod(xxhash64(col("item_id")), col("n_chunks").cast("long")).cast("int").as("chunk"),
+      col("item_id").as("a_id"))
+    val hotB = hot.select(
+      col("bkey"),
+      explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk"),
+      col("item_id").as("b_id"))
+    val hotPairs = hotA
+      .join(hotB, Seq("bkey", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+
+    smallPairs.unionByName(hotPairs).distinct()
   }
+
+  /** Unordered candidate pairs (a_id < b_id) from LSH band collisions. */
+  def lshPairs(
+      bands: DataFrame,
+      maxBandBucket: Int,
+      saltChunk: Int = 64,
+      maxSaltedBucket: Int = 4096): DataFrame =
+    bucketSelfPairs(
+      bands.select(col("band_key").as("bkey"), col("item_id")),
+      maxBandBucket, saltChunk, maxSaltedBucket)
 
   /** Exact substring-containment pairs — the scoped stand-in for the north
     * rule's suffix-array pass (SURVEY §7.4: "per-partition suffix grouping
@@ -101,29 +150,25 @@ object Candidates {
 
   /** Unordered candidate pairs from SimHash chunk collisions at
     * hamming distance <= maxHamming (pigeonhole over 4 x 15-bit chunks).
+    * Shares the three-regime skew handling of [[bucketSelfPairs]]; the
+    * hamming verification rejoins the fingerprints after pair generation.
     */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int, maxBandBucket: Int): DataFrame = {
+  def simhashPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBandBucket: Int,
+      saltChunk: Int = 64,
+      maxSaltedBucket: Int = 4096): DataFrame = {
     val chunked = sigs.select(
       col("item_id"),
-      col("simhash"),
       explode(array((0 until 4).map { c =>
-        struct(
-          lit(c).as("chunk_idx"),
-          (shiftright(col("simhash"), 15 * c) % lit(1L << 15)).as("chunk_val"))
-      }: _*)).as("ch"))
-      .select(col("item_id"), col("simhash"), col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_val").as("chunk_val"))
-    val okBuckets = chunked
-      .groupBy("chunk_idx", "chunk_val")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBandBucket && col("bucket_n") > 1)
-      .select("chunk_idx", "chunk_val")
-    val ok = chunked.join(okBuckets, Seq("chunk_idx", "chunk_val"))
-    val a = ok.select(col("chunk_idx"), col("chunk_val"), col("item_id").as("a_id"), col("simhash").as("a_sh"))
-    val b = ok.select(col("chunk_idx"), col("chunk_val"), col("item_id").as("b_id"), col("simhash").as("b_sh"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("a_id") < col("b_id"))
+        concat(lit(s"$c:"), (shiftright(col("simhash"), 15 * c) % lit(1L << 15)).cast("string"))
+      }: _*)).as("bkey"))
+    val pairs = bucketSelfPairs(chunked, maxBandBucket, saltChunk, maxSaltedBucket)
+    pairs
+      .join(sigs.select(col("item_id").as("a_id"), col("simhash").as("a_sh")), Seq("a_id"))
+      .join(sigs.select(col("item_id").as("b_id"), col("simhash").as("b_sh")), Seq("b_id"))
       .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
       .select("a_id", "b_id")
-      .distinct()
   }
 }

@@ -1,7 +1,8 @@
 package graft.stage
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over the verified-edge Dataset (north rule:
   * "clusters are formed via iterative connected components over the
@@ -11,10 +12,21 @@ import org.apache.spark.sql.functions._
   * smallest label among itself, its neighbors, AND its current label's
   * current label (pointer jumping — halves tree height each round, so
   * convergence is O(log d) not O(d) even for path-shaped components).
-  * Iterations are localCheckpoint'ed to cut lineage; each round is one
-  * shuffle join, DataFrame-only (no RDDs except inside localCheckpoint).
+  *
+  * Each iteration's labels are localCheckpoint'ed: the checkpoint TRUNCATES
+  * the logical plan (a persist would not — the per-iteration plan references
+  * the previous labels several times, so without truncation the tree grows
+  * ~4^iterations and Catalyst analysis itself becomes the bottleneck).
+  * Round-1 leak fix: the SUPERSEDED generation's block-backed RDD is
+  * unpersisted as soon as the next generation is materialized (Dataset
+  * .unpersist can't reach checkpoint blocks — see
+  * GraftColumnBridge.checkpointedRdd), so a run holds at most two
+  * generations of label blocks instead of one per iteration.
   */
 object Cluster {
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    GraftColumnBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
   /** edges: (a_id, b_id) undirected; vertices: one column `id` (superset of
     * edge endpoints). Returns (id, component) where component = min id in
@@ -42,13 +54,19 @@ object Cluster {
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_comp")).as("nbr_comp"))
 
+      // persisted within the iteration: consumed by BOTH branches of the
+      // pointer-jump self-join (exchange reuse can't kick in — the branches
+      // shuffle on different keys), so without a cache the nbrMin
+      // aggregation would run twice
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // pointer jumping: component := label(component)
+      // pointer jumping: component := label(component); eager checkpoint
+      // materializes the new generation and truncates its plan
       val jumped = stepped
         .join(
           stepped.select(col("id").as("component"), col("component").as("parent_comp")),
@@ -62,10 +80,13 @@ object Cluster {
         .filter(col("component") =!= col("old_comp"))
         .limit(1)
         .count()
+      stepped.unpersist(false)
+      freeCheckpoint(labels) // superseded generation — the round-1 leak
       converged = changed == 0
       labels = jumped
       iter += 1
     }
+    freeCheckpoint(sym)
     labels
   }
 }

@@ -24,8 +24,17 @@ object FindStage {
     * Reproduces: exact-key short-circuit (score 1.0, fuzzy skipped) ->
     * gram-size cascade LARGEST FIRST with anti-join fallthrough (SURVEY §4
     * O4: the dense size-2 join runs only for probes size 3 missed).
+    *
+    * `broadcastProbes` (default true — the reference's query workloads are
+    * tiny next to the corpus): hint the probe-gram side broadcast so the
+    * postings table is NEVER shuffled for a lookup; disable for bulk-probe
+    * workloads whose gram sets exceed broadcast size.
     */
-  def findMin(probes: DataFrame, idx: IndexTables, minScore: Double): DataFrame = {
+  def findMin(
+      probes: DataFrame,
+      idx: IndexTables,
+      minScore: Double,
+      broadcastProbes: Boolean = true): DataFrame = {
     val p = probes
       .select(col("query_id").cast("string").as("query_id"), col("query"))
       .withColumn("qkey", lower(col("query")))
@@ -39,7 +48,8 @@ object FindStage {
       .join(idx.items.select(col("key").as("qkey")), Seq("qkey"), "left_anti")
       .select("query_id", "qkey")
 
-    val fuzzy = cascade(rest, idx, minScore, excludeSelf = false) { (remaining, n) =>
+    val fuzzy = cascade(rest, idx, minScore, excludeSelf = false,
+      smallProbes = broadcastProbes) { (remaining, n) =>
       // map-side gram counts (GramCountsExpr) — no groupBy per probe
       remaining
         .select(col("query_id"), explode(gf.gramCounts(col("qkey"), n)).as("e"))
@@ -80,9 +90,34 @@ object FindStage {
       probes: DataFrame,
       idx: IndexTables,
       minScore: Double,
-      excludeSelf: Boolean
+      excludeSelf: Boolean,
+      smallProbes: Boolean = false
   )(qgrams: (DataFrame, Int) => DataFrame): DataFrame = {
     val conf = idx.conf
+
+    // frequent-gram stop-list (SURVEY §4 O1 / §7.4): a gram appearing in
+    // more than maxPostingsPerGram items turns the postings equi-join
+    // quadratic ("-t" at 10^12 rows is a petabyte of join output) while
+    // carrying almost no cosine discrimination. Drop such grams from the
+    // JOIN only — magnitudes stay full, so scores for retained grams are
+    // unchanged; below the threshold (default 10k) behavior is exactly the
+    // reference's. Documented divergence above it. Computed ONCE for every
+    // gram size (round 1 re-ran the df aggregation per cascade size).
+    val post =
+      if (conf.maxPostingsPerGram > 0) {
+        val ok = idx.postings
+          .groupBy("gram_size", "gram")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= conf.maxPostingsPerGram)
+          .select("gram_size", "gram")
+        idx.postings.join(ok, Seq("gram_size", "gram"), "left_semi")
+      } else idx.postings
+
+    // probe-side tables are query-workload sized when smallProbes: hint
+    // them broadcast so the corpus-sized postings/norms sides are never
+    // shuffled for a lookup
+    def probeSide(df: DataFrame): DataFrame = if (smallProbes) df.hint("broadcast") else df
+
     var remaining = probes
     var acc: Option[DataFrame] = None
 
@@ -90,38 +125,21 @@ object FindStage {
       val qg = qgrams(remaining, n)
       val qnorm = qg.groupBy("query_id").agg(sqrt(sum(col("qcnt") * col("qcnt"))).as("qmag"))
 
-      // frequent-gram stop-list (SURVEY §4 O1 / §7.4): a gram appearing in
-      // more than maxPostingsPerGram items turns this equi-join quadratic
-      // ("-t" at 10^12 rows is a petabyte of join output) while carrying
-      // almost no cosine discrimination. Drop such grams from the JOIN
-      // only — magnitudes stay full, so scores for retained grams are
-      // unchanged; below the threshold (default 10k) behavior is exactly
-      // the reference's. Documented divergence above it.
-      val post0 = idx.postings.filter(col("gram_size") === n).drop("gram_size")
-      val post =
-        if (conf.maxPostingsPerGram > 0) {
-          val ok = post0
-            .groupBy("gram")
-            .agg(count(lit(1)).as("df"))
-            .filter(col("df") <= conf.maxPostingsPerGram)
-            .select("gram")
-          post0.join(ok, Seq("gram"), "left_semi")
-        } else post0
-      val dots = qg
-        .join(post, Seq("gram"))
+      val dots = probeSide(qg)
+        .join(post.filter(col("gram_size") === n).drop("gram_size"), Seq("gram"))
         .groupBy("query_id", "item_id")
         .agg(sum(col("qcnt").cast("long") * col("cnt")).as("dot"))
 
       val inorm = idx.norms.filter(col("gram_size") === n).select(col("item_id"), col("magnitude"))
       val cos = dots
-        .join(qnorm, Seq("query_id"))
+        .join(probeSide(qnorm), Seq("query_id"))
         .join(inorm, Seq("item_id"))
         .filter(col("qmag") > 0 && col("magnitude") > 0)
         .withColumn("cosine", col("dot") / (col("qmag") * col("magnitude")))
 
       val withKeys = cos
         .join(idx.items.select(col("item_id"), col("key"), col("original")), Seq("item_id"))
-        .join(remaining, Seq("query_id"))
+        .join(probeSide(remaining), Seq("query_id"))
 
       val scored =
         if (conf.useLevenshtein) {

@@ -23,15 +23,15 @@ object Gram {
     t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
   }
 
-  /** Haskell `Data.Char.isSpace`: ' ', \t..\r control range, and Unicode
-    * space separators. Cite: Internal.hs:208.
+  /** Haskell `Data.Char.isSpace`: ' ', \t..\r control range, NBSP, and the
+    * Unicode Zs (space separator) category ONLY \u2014 GHC's generalCategory
+    * check does NOT admit Zl/Zp (U+2028/U+2029), so line/paragraph
+    * separators are dropped by `normalized` like any other symbol.
+    * Cite: Internal.hs:208.
     */
   @inline def isSpaceRef(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r') || c == '\u00A0' || {
-      val t = Character.getType(c)
-      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
-      t == Character.PARAGRAPH_SEPARATOR
-    }
+    c == ' ' || (c >= '\t' && c <= '\r') || c == '\u00A0' ||
+      Character.getType(c) == Character.SPACE_SEPARATOR
 
   /** Lowercase + keep only alphanumerics, whitespace and ','
     * (Internal.hs:204-211). Note the reference lowercases BEFORE filtering.

@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The block-backed RDD behind a localCheckpoint'ed Dataset (its analyzed
+    * plan is a LogicalRDD). Dataset.unpersist only reaches CacheManager
+    * entries, so freeing a superseded checkpoint generation (e.g. iterative
+    * connected-components labels) needs the RDD itself.
+    */
+  def checkpointedRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

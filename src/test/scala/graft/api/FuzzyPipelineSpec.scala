@@ -286,4 +286,32 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     p3.size shouldBe 3
     java.nio.file.Files.getLastModifiedTime(meta) should not be mtime1
   }
+
+  test("signature-Jaccard verify gate (>= 0.3) never drops a planted near-dup pair") {
+    import graft.audio.ClipSynth
+    import graft.sql.{functions => gf}
+    import org.apache.spark.sql.functions.{col, format_string, min => smin}
+    // the estJaccard >= 0.3 prefilter in FindStage.verifyPairs is a
+    // recall-affecting heuristic; pin that on the planted fixture NO
+    // typo/drop pair's estimated Jaccard comes near the cutoff
+    val n = 4000L
+    val clips = ClipSynth.table(spark, n, includeAudio = false)
+    val idx = graft.stage.IndexBuild(clips, "clip_id", "transcript", FuzzyConf())
+    val planted = ClipSynth.plantedPairs(n).toDF("a_idx", "b_idx")
+      .select(
+        format_string("clip_%012d", col("a_idx")).as("a_clip"),
+        format_string("clip_%012d", col("b_idx")).as("b_clip"))
+    val m = idx.members
+    val est = planted
+      .join(m.select(col("clip_id").as("a_clip"), col("item_id").as("a_id")), Seq("a_clip"))
+      .join(m.select(col("clip_id").as("b_clip"), col("item_id").as("b_id")), Seq("b_clip"))
+      .filter(col("a_id") =!= col("b_id")) // exact dups share an item: no gate applies
+      .join(idx.sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(idx.sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .select(gf.estJaccard(col("a_sig"), col("b_sig")).as("est"))
+    val agg = est.agg(smin(col("est")).as("mn"), org.apache.spark.sql.functions.count(col("est")).as("n"))
+      .collect()(0)
+    agg.getLong(1) should be > 100L // the fixture actually planted pairs
+    agg.getDouble(0) should be >= 0.3
+  }
 }

@@ -43,12 +43,38 @@ class AnnSpec extends AnyFunSuite with Matchers {
     val probes = c.filter(col("vec_id") < 4).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val brute = Ann.bruteTopK(probes, c, 3).as[(Long, Long, Double)].collect()
       .map { case (q, i, _) => (q, i) }.toSet
-    val bucketed = Ann.bucketedTopK(probes, c, dim = 16, planes = 6, 3)
+    val bucketed = Ann.bucketedTopK(probes, c, dim = 16, planes = 6, 3, bands = 1)
       .as[(Long, Long, Double)].collect().map { case (q, i, _) => (q, i) }.toSet
     // same-direction vectors collide in sign-buckets with high probability;
     // require >= 2/3 of brute-force neighbors recovered
     val recall = (brute intersect bucketed).size.toDouble / brute.size
     recall should be >= 0.66
+  }
+
+  test("multi-band bucketedTopK recall >= 0.9 vs brute force on the sf0.01 embeddings") {
+    // The driver's embeddings are near-UNIFORM on the sphere (top-5
+    // neighbors sit at cosine ~0.3, i.e. ~71 deg — measured; the `label`
+    // column carries no geometric structure). Uniform data is the
+    // theoretical worst case for hyperplane LSH: per-plane agreement for a
+    // true neighbor is only 1 - 71/180 ~ 0.6, so recall >= 0.9 forces few
+    // planes per band (coarse buckets) and the candidate set approaches the
+    // corpus — the (planes=2, bands=8) config below is the honest point on
+    // that curve: predicted recall 1-(1-0.6^2)^8 ~ 0.97. On clustered
+    // embeddings (the planted-direction test above) tight buckets
+    // (planes=6) already recall well with tiny candidate sets; (r, b) is
+    // the knob, exactly as in MinHash LSH.
+    val q = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), Ann.quantize(col("embedding")).as("v"))
+    val probes = q.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val brute = Ann.bruteTopK(probes, q, k = 5).as[(Long, Long, Double)].collect()
+      .map { case (qq, i, _) => (qq, i) }.toSet
+    val bucketed = Ann.bucketedTopK(probes, q, dim = 64, planes = 2, k = 5, bands = 8)
+      .as[(Long, Long, Double)].collect().map { case (qq, i, _) => (qq, i) }.toSet
+    val recall = (brute intersect bucketed).size.toDouble / brute.size
+    withClue(s"recall=$recall over ${brute.size} brute neighbors: ") {
+      recall should be >= 0.9
+    }
   }
 
   test("plane entries are deterministic and bounded") {

@@ -1,0 +1,64 @@
+package graft.stage
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Skew-regime tests for candidate generation (north rule: "salted
+  * repartitioning for skewed shingle bands").
+  */
+class CandidatesSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def bandsDF(bucketSizes: Map[String, Int]) =
+    bucketSizes.toSeq
+      .flatMap { case (key, n) => (0 until n).map(i => (key, f"${key}_i$i%06d")) }
+      .toDF("bkey", "item_id")
+
+  test("salted hot buckets produce EXACTLY the all-pairs set of the direct join") {
+    // 300-member bucket is above cap=100 -> salted regime; 40-member bucket
+    // stays direct; the union must equal the unsalted all-pairs ground truth
+    val keyed = bandsDF(Map("hot" -> 300, "small" -> 40, "single" -> 1))
+    val salted = Candidates
+      .bucketSelfPairs(keyed, cap = 100, saltChunk = 32, maxSalted = 4096)
+      .as[(String, String)].collect().toSet
+    val direct = Candidates
+      .bucketSelfPairs(keyed, cap = 1000000, saltChunk = 32, maxSalted = 4096)
+      .as[(String, String)].collect().toSet
+    salted.size shouldBe (300 * 299 / 2 + 40 * 39 / 2)
+    salted shouldBe direct
+  }
+
+  test("buckets beyond maxSaltedBucket are dropped; others unaffected") {
+    val keyed = bandsDF(Map("flood" -> 600, "ok" -> 5))
+    val pairs = Candidates
+      .bucketSelfPairs(keyed, cap = 100, saltChunk = 32, maxSalted = 500)
+      .as[(String, String)].collect()
+    pairs.length shouldBe 5 * 4 / 2
+    all(pairs.map(_._1)) should startWith("ok")
+  }
+
+  test("a pair never duplicates across the salted join (a<b once per bucket)") {
+    val keyed = bandsDF(Map("hot" -> 150))
+    val pairs = Candidates
+      .bucketSelfPairs(keyed, cap = 100, saltChunk = 16, maxSalted = 4096)
+      .as[(String, String)].collect()
+    pairs.length shouldBe pairs.toSet.size
+    pairs.length shouldBe 150 * 149 / 2
+  }
+
+  test("simhashPairs with salting still finds hamming<=3 neighbors in a hot chunk bucket") {
+    // 120 fingerprints sharing chunk 0 (low 15 bits identical) -> one hot
+    // bucket above cap=50; planted neighbor pair differs in 2 high bits
+    val base = 0x1234L
+    val sigs = ((0 until 118).map { i =>
+      (f"r$i%04d", base | ((i.toLong + 7) << 20)) // far apart in high bits
+    } :+ ("pairA0", base | (1L << 50)) :+ ("pairB0", base | (1L << 50) | (1L << 58)))
+      .toDF("item_id", "simhash")
+    val got = Candidates
+      .simhashPairs(sigs, maxHamming = 3, maxBandBucket = 50, saltChunk = 16, maxSaltedBucket = 4096)
+      .as[(String, String)].collect().toSet
+    got should contain(("pairA0", "pairB0"))
+  }
+}

@@ -43,5 +43,13 @@ class StreamFindSpec extends AnyFunSuite with Matchers {
     val wy = oracle.find("Why-oh-me-ing")
     out("q2").map(r => (r._3, r._2)).toSet shouldBe wy.map(m => (m._2, m._1)).toSet
     out.get("q3") shouldBe None // no match above threshold
+
+    // at-least-once replay: re-running a micro-batch (same batchId, as a
+    // foreachBatch retry would) must not duplicate its output rows
+    val before = spark.read.parquet(outDir).count()
+    StreamFind.writeBatch(
+      Seq(("q0", "percolator"), ("q1", "alaska")).toDF("query_id", "query"),
+      batchId = 0L, idx, 0.33, outDir)
+    spark.read.parquet(outDir).count() shouldBe before
   }
 }
