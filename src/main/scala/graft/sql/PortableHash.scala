@@ -80,4 +80,33 @@ object PortableHash {
     }
     (sig, sim)
   }
+
+  /** splitmix64 finalizer — strong 64-bit mixing for band tokens. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Band-collision tokens from a MinHash signature: band b's token mixes
+    * (b, sig[b*r] .. sig[b*r+r-1]). Token equality <=> the r signature rows
+    * of that band all agree (modulo 64-bit collisions, which can only ADD a
+    * candidate pair — pair verification rejects them). Computed here, in
+    * the same tight pass as the signature, because the column-expression
+    * form (nested transform/slice/array_join) runs in the HOF interpreter
+    * at ~300us/row — it was the single hottest spot of the round-2 bench.
+    */
+  def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(b.toLong)
+      var r = 0
+      while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
 }

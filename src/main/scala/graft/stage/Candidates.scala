@@ -59,7 +59,10 @@ object Candidates {
       .groupBy("bkey")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > 1 && col("bucket_n") <= maxSalted)
-    val withN = keyed.join(sizes, Seq("bkey"))
+    // materialized (lazily): four downstream branches (small a/b, hot A/B)
+    // scan this table — without a checkpoint each branch would recompute
+    // keyed's whole lineage (band-key extraction over the corpus)
+    val withN = keyed.join(sizes, Seq("bkey")).localCheckpoint(false)
 
     val small = withN.filter(col("bucket_n") <= cap)
     val smallPairs = small
@@ -114,19 +117,25 @@ object Candidates {
     val keyed = items.select(col("item_id"), col("key"), length(col("key")).as("klen"))
     val longK = keyed.filter(col("klen") >= prefixLen)
     // every L-gram of the container key (offsets 1..len-L+1); ONLY
-    // (id, prefix) travels through the explode + distinct — the full keys
-    // rejoin after the candidate pairs are known (the exploded set is
-    // |corpus| x |key| rows; carrying key bodies through it would multiply
-    // the shuffle volume by the key length)
+    // (id, xxhash64(prefix)) travels through the explode + distinct — the
+    // exploded set is |corpus| x |key| rows, so both the key BODY and even
+    // the L-char prefix string are hashed away before the shuffle (an
+    // 8-byte key instead of L chars; a hash collision can only ADD a
+    // candidate pair, and the contains() verification below rejects it)
+    // no per-container distinct: repeated prefixes inside one key are rare
+    // (they would be a 14M-row shuffle to remove) and duplicate candidate
+    // pairs collapse in the final pair distinct anyway. Materialized once —
+    // the hot-prefix aggregation and the candidate join consume it on
+    // DIFFERENT keys, so exchange reuse cannot share the explode.
     val containers = longK
       .select(col("item_id").as("b_id"),
         explode(
           transform(
             sequence(lit(1), col("klen") - (prefixLen - 1)),
-            i => col("key").substr(i, lit(prefixLen)))).as("pfx"))
-      .distinct()
+            i => xxhash64(col("key").substr(i, lit(prefixLen))))).as("pfx"))
+      .localCheckpoint(false)
     val contained = longK
-      .select(col("item_id").as("a_id"), col("key").substr(lit(1), lit(prefixLen)).as("pfx"))
+      .select(col("item_id").as("a_id"), xxhash64(col("key").substr(lit(1), lit(prefixLen))).as("pfx"))
     val okPfx = containers
       .groupBy("pfx")
       .agg(count(lit(1)).as("n"))

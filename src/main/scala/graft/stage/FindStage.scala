@@ -165,6 +165,20 @@ object FindStage {
     acc.get.select("query_id", "score", "matched", "matched_id", "gram_size")
   }
 
+  /** Postings restricted to ids appearing on either side of the candidate
+    * pair set, via a semi-join (broadcastable id set -> the corpus-wide
+    * postings table is scanned once and never shuffled whole). Exposed
+    * pre-checkpoint so plan tests can pin the LeftSemi shape;
+    * [[verifyPairs]] consumes the checkpointed form.
+    */
+  private[graft] def prunedPostings(pairs: DataFrame, idx: IndexTables): DataFrame = {
+    val candIds = pairs
+      .select(col("a_id").as("item_id"))
+      .unionByName(pairs.select(col("b_id").as("item_id")))
+      .distinct()
+    idx.postings.join(candIds, Seq("item_id"), "left_semi")
+  }
+
   /** Top-1 per query: deterministic (score desc, matched asc). */
   def bestPerQuery(results: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("matched").asc)
@@ -190,24 +204,35 @@ object FindStage {
     // expensive). stderr ~ sqrt(j(1-j)/H) ~ 0.045, so the 0.3 cutoff sits
     // > 5 sigma below any genuinely-near pair (single-edit J >= 0.65);
     // on vocabulary-dense corpora this drops the candidate volume ~100x.
+    // one-pass UDF, not the zip_with/aggregate HOF composition: HOFs run in
+    // the expression interpreter per element and this compares H components
+    // per candidate pair (gf.estJaccard stays for query-scale use)
+    val estJacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0
+      var c = 0
+      while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
+      c.toDouble / a.length
+    }
     val sa = idx.sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig"))
     val sb = idx.sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig"))
     val gated = pairs
       .join(sa, Seq("a_id"))
       .join(sb, Seq("b_id"))
-      .filter(gf.estJaccard(col("a_sig"), col("b_sig")) >= 0.3)
+      .filter(estJacUdf(col("a_sig"), col("b_sig")) >= 0.3)
       .select("a_id", "b_id")
       .localCheckpoint() // consumed by three branches below
 
     // semi-join prune postings to candidate ids BEFORE the pair join: the
-    // candidate id set is tiny relative to the corpus (broadcast), so both
-    // postings scans shrink to candidate rows instead of shuffling the
-    // full postings table on (b_id, gram_size, gram)
-    val pa = idx.postings
-      .join(gated.select(col("a_id").as("item_id")).distinct(), Seq("item_id"), "left_semi")
+    // candidate id set is tiny relative to the corpus (broadcast), so the
+    // postings scan shrinks to candidate rows instead of shuffling the
+    // full postings table on (b_id, gram_size, gram). ONE scan, lazily
+    // materialized — postings is a recompute-on-read projection of items,
+    // so feeding the a-side and b-side from separate scans (round 1) paid
+    // the corpus-wide gram extraction twice
+    val pruned = prunedPostings(gated, idx).localCheckpoint(false)
+    val pa = pruned
       .select(col("item_id").as("a_id"), col("gram_size"), col("gram"), col("cnt").as("a_cnt"))
-    val pb = idx.postings
-      .join(gated.select(col("b_id").as("item_id")).distinct(), Seq("item_id"), "left_semi")
+    val pb = pruned
       .select(col("item_id").as("b_id"), col("gram_size"), col("gram"), col("cnt").as("b_cnt"))
 
     val dots = gated

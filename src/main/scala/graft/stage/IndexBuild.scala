@@ -25,8 +25,8 @@ final case class IndexTables(
     members: DataFrame, // (clip_id, item_id)
     postings: DataFrame, // (gram_size, gram, item_id, cnt)
     norms: DataFrame, // (item_id, gram_size, magnitude)
-    sigs: DataFrame, // (item_id, sig: array<long>, simhash: long)
-    bands: DataFrame // (item_id, band_key)
+    sigs: DataFrame, // (item_id, sig: array<long>, simhash: long, band_hashes: array<long>)
+    bands: DataFrame // (item_id, band_key: long)
 )
 
 object IndexBuild {
@@ -82,20 +82,30 @@ object IndexBuild {
       .select(col("item_id"), col("gram_size"), explode(col("gc")).as("e"))
       .select(col("item_id"), col("gram_size"), col("e.gram").as("gram"), col("e.cnt").as("cnt")))
 
+    // integer sum of squares in one pass, sqrt at the end: the aggregate()
+    // HOF form runs in the expression interpreter per element (graft perf
+    // note) and this executes once per (item, gram_size) over ~|key| counts
+    val magUdf = udf { (cnts: Seq[Int]) =>
+      var acc = 0L
+      var i = 0
+      while (i < cnts.length) { val c = cnts(i).toLong; acc += c * c; i += 1 }
+      math.sqrt(acc.toDouble)
+    }
     val norms = mat("norms", sized
-      .select(col("item_id"), col("gram_size"),
-        sqrt(aggregate(col("gc"), lit(0L),
-          (acc, x) => acc + x.getField("cnt").cast("long") * x.getField("cnt"))
-          .cast("double")).as("magnitude")))
+      .select(col("item_id"), col("gram_size"), magUdf(col("gc.cnt")).as("magnitude")))
 
-    // signatures via one tight Scala pass per row (PortableHash scaladoc:
-    // the pure-expression form re-runs the md5s once per signature
-    // component — Catalyst inlines single-use aliases into the lambda);
-    // value-identical to the column expressions and the DuckDB oracle
+    // signatures + band tokens via one tight Scala pass per row (PortableHash
+    // scaladoc: the pure-expression sig form re-runs md5s per component, and
+    // the band-key construction (nested transform/slice/array_join) runs in
+    // the HOF interpreter at ~300us/row — it was the hottest spot of the
+    // round-2 bench profile); value-identical to the column expressions and
+    // the DuckDB oracle
     val H = conf.minhashHashes
+    val B = conf.minhashBands
+    val R = conf.rowsPerBand
     val sigUdf = udf { (grams: Seq[String]) =>
       val (sig, sim) = graft.sql.PortableHash.sigAndSimhash(grams, H)
-      (sig.toSeq, sim)
+      (sig.toSeq, sim, graft.sql.PortableHash.bandHashes(sig, B, R).toSeq)
     }
     // items whose normalized key is empty have no grams: no signature, no
     // LSH (all-empty sigs would otherwise bucket together and pair up);
@@ -105,11 +115,16 @@ object IndexBuild {
       .select(col("item_id"), g.as("g"))
       .filter(size(col("g")) > 0)
       .select(col("item_id"), sigUdf(col("g")).as("ss"))
-      .select(col("item_id"), col("ss._1").as("sig"), col("ss._2").as("simhash")))
+      .select(col("item_id"), col("ss._1").as("sig"), col("ss._2").as("simhash"),
+        col("ss._3").as("band_hashes")))
 
-    val bands = mat("bands", sigs.select(
-      col("item_id"),
-      explode(gf.bandKeys(col("sig"), conf.minhashBands, conf.rowsPerBand)).as("band_key")))
+    // band tokens shuffle as 8-byte longs (mixed from the band's signature
+    // rows), not ~50-char strings: the LSH self-join shuffles |corpus| x
+    // bands rows, so key width dominates shuffle volume and sort-merge
+    // compare cost; a 64-bit collision can only ADD a candidate pair, which
+    // verification filters (same contract as the hash itself)
+    val bands = mat("bands", sigs
+      .select(col("item_id"), explode(col("band_hashes")).as("band_key")))
 
     IndexTables(conf, items, members, postings, norms, sigs, bands)
   }

@@ -66,10 +66,15 @@ class PlanSpec extends AnyFunSuite with Matchers {
 
   test("candidate verification semi-join-prunes postings against the pair set") {
     val clips = (0 until 50).map(i => (f"c$i%03d", s"text number $i words here")).toDF("clip_id", "transcript")
-    // raw (unmaterialized) build so the executed plan is inspectable
+    // raw (unmaterialized) build so the executed plan is inspectable; the
+    // pruned table is checkpointed inside verifyPairs (one corpus scan for
+    // both pair sides), so the pin targets its pre-checkpoint plan
     val idx = IndexBuild(clips, "clip_id", "transcript", FuzzyConf())
     val pairs = Seq(("c000", "c001"), ("c002", "c003")).toDF("a_id", "b_id")
-    val p = plan(graft.stage.FindStage.verifyPairs(pairs, idx, 0.33))
+    val p = plan(graft.stage.FindStage.prunedPostings(pairs, idx))
     p should include("LeftSemi")
+    // and the full verification still runs off a single materialized scan
+    val vp = plan(graft.stage.FindStage.verifyPairs(pairs, idx, 0.33))
+    vp should (include("ExistingRDD") or include("LogicalRDD")) // checkpointed pruned postings
   }
 }
