@@ -121,6 +121,23 @@ final case class FuzzyPipeline(
 
   // ---- dedup pipeline (the scale generalization) -------------------------
 
+  /** Materialize independent pipeline branches as CONCURRENT Spark jobs
+    * (threads only submit jobs; tasks share the executor cores under the
+    * FIFO scheduler). Each branch is a serial chain of AQE query stages
+    * that individually cannot fill a wide cluster — overlapping the chains
+    * is what keeps 4N cores busy; at N cores the scheduler simply
+    * interleaves them. Branch failures propagate.
+    */
+  private def concurrently(branches: (() => DataFrame)*): Seq[DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(branches.size)
+    try {
+      val fs = branches.map(b => pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = b()
+      }))
+      fs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** Candidate pairs from all generation passes (LSH + SimHash), distinct.
     * Memoized: each stage materializes once per pipeline instance
     * (localCheckpoint, unlike the cache manager, does not dedupe repeated
@@ -128,10 +145,14 @@ final case class FuzzyPipeline(
     */
   def candidatePairs(): DataFrame = candidatesMemo
   private lazy val candidatesMemo: DataFrame = {
-    val lsh = Candidates.lshPairs(
-      index.bands, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
-    val sim = Candidates.simhashPairs(
-      index.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+    val idx = index // lazy-val init on THIS thread (see edgesMemo monitor note)
+    idx.sigs.count() // force ONCE so racing branches read blocks, not lineage
+    val Seq(lsh, sim) = concurrently(
+      () => Candidates.lshPairs(
+        idx.bands, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket).localCheckpoint(),
+      () => Candidates.simhashPairs(
+        idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+        .localCheckpoint())
     ckpt("candidates")(lsh.unionByName(sim).distinct())
   }
 
@@ -142,10 +163,18 @@ final case class FuzzyPipeline(
     */
   def dedupEdges(): DataFrame = edgesMemo
   private lazy val edgesMemo: DataFrame = {
-    val exact = Candidates.exactEdges(index.members)
-    val fuzzy = FindStage.verifyPairs(candidatePairs(), index, conf.minScore)
-    val substr = Candidates.substringPairs(
-      index.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)
+    // force the sibling lazy vals ON THIS THREAD before spawning branches:
+    // a Scala lazy val initializer holds the instance monitor, so a branch
+    // thread touching `candidatePairs()`/`index` while edgesMemo's own
+    // initializer is running would deadlock on the same monitor
+    val idx = index
+    val cands = candidatePairs()
+    val Seq(exact, fuzzy, substr) = concurrently(
+      () => Candidates.exactEdges(idx.members).localCheckpoint(),
+      () => FindStage.verifyPairs(cands, idx, conf.minScore).localCheckpoint(),
+      () => Candidates.substringPairs(
+        idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)
+        .localCheckpoint())
     ckpt("edges")(exact.unionByName(fuzzy).unionByName(substr))
   }
 

@@ -75,10 +75,12 @@ object Cluster {
         .select(col("id"), coalesce(col("parent_comp"), col("component")).as("component"))
         .localCheckpoint()
 
+      // full count, no limit-1 early exit: both inputs are materialized, so
+      // the scan is trivial, and a limit's task CANCELLATION floods the log
+      // with late-completion "non-existent accumulator" errors
       val changed = jumped
         .join(labels.withColumnRenamed("component", "old_comp"), Seq("id"))
         .filter(col("component") =!= col("old_comp"))
-        .limit(1)
         .count()
       stepped.unpersist(false)
       freeCheckpoint(labels) // superseded generation — the round-1 leak
