@@ -18,8 +18,12 @@ object Verify {
     // independent in-memory expected values for the audio queries (WAV
     // bytes / reference-semantics clusters are not SQL-expressible over the
     // driver's parquet tables); their oracle SQL reads these back via
-    // read_parquet — written FIRST so the oracle can always see them
-    val expDir = new java.io.File(outDir, "expected").getAbsolutePath
+    // read_parquet — written FIRST so the oracle can always see them.
+    // SIBLING of outDir, not inside it: the driver treats every outDir
+    // subdirectory as a query dump, so an inner dir shows up as a phantom
+    // `expected` query with no oracle (VERDICT r02 item 3)
+    val out = new java.io.File(outDir).getAbsoluteFile
+    val expDir = new java.io.File(out.getParentFile, out.getName + "_expected").getAbsolutePath
     graft.oracle.AudioOracle.writeExpected(spark, expDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -67,24 +67,36 @@ final case class FuzzyPipeline(
 
   // ---- reference query API (Simple.hs) ---------------------------------
 
-  /** findMin (Simple.hs:176): all matches >= minScore per probe. */
-  def findMin(minScore: Double, probes: DataFrame): DataFrame =
-    FindStage.findMin(probes, index, minScore)
+  /** findMin (Simple.hs:176): all matches >= minScore per probe.
+    *
+    * `broadcastProbes` (default true): the reference's query workloads are
+    * lookups — a handful of probes against a large corpus — so the
+    * probe-gram tables are hinted broadcast and the postings side is never
+    * shuffled. For BULK probe workloads (probe set comparable to the
+    * corpus) pass false: an unconditional broadcast of a corpus-sized
+    * probe-gram table would hit the 8 GB broadcast limit / driver memory
+    * instead of degrading to a shuffle join.
+    */
+  def findMin(minScore: Double, probes: DataFrame, broadcastProbes: Boolean = true): DataFrame =
+    FindStage.findMin(probes, index, minScore, broadcastProbes)
 
   /** find = findMin 0.33 (Simple.hs:219-226). */
-  def find(probes: DataFrame): DataFrame = findMin(0.33, probes)
+  def find(probes: DataFrame, broadcastProbes: Boolean = true): DataFrame =
+    findMin(0.33, probes, broadcastProbes)
 
   /** findOneMin (Simple.hs:190): best match per probe. */
-  def findOneMin(minScore: Double, probes: DataFrame): DataFrame =
-    FindStage.bestPerQuery(findMin(minScore, probes))
+  def findOneMin(minScore: Double, probes: DataFrame, broadcastProbes: Boolean = true): DataFrame =
+    FindStage.bestPerQuery(findMin(minScore, probes, broadcastProbes))
 
-  def findOne(probes: DataFrame): DataFrame = findOneMin(0.33, probes)
+  def findOne(probes: DataFrame, broadcastProbes: Boolean = true): DataFrame =
+    findOneMin(0.33, probes, broadcastProbes)
 
   /** closestMatchMin/closestMatch (Simple.hs:204, 244): matched value only. */
-  def closestMatchMin(minScore: Double, probes: DataFrame): DataFrame =
-    findOneMin(minScore, probes).select("query_id", "matched")
+  def closestMatchMin(minScore: Double, probes: DataFrame, broadcastProbes: Boolean = true): DataFrame =
+    findOneMin(minScore, probes, broadcastProbes).select("query_id", "matched")
 
-  def closestMatch(probes: DataFrame): DataFrame = closestMatchMin(0.33, probes)
+  def closestMatch(probes: DataFrame, broadcastProbes: Boolean = true): DataFrame =
+    closestMatchMin(0.33, probes, broadcastProbes)
 
   // ---- reference insertion API (Simple.hs:256-323) ----------------------
 
@@ -169,6 +181,12 @@ final case class FuzzyPipeline(
     // initializer is running would deadlock on the same monitor
     val idx = index
     val cands = candidatePairs()
+    // force the multi-consumer parents ON THIS THREAD (round-2 ADVICE):
+    // items feeds both the fuzzy and substr branches — two threads
+    // first-touching a lazily-checkpointed table materialize it twice
+    // concurrently. (candidatePairs already forced sigs, whose build reads
+    // the materialized items, so this count is normally a block scan.)
+    idx.items.count()
     val Seq(exact, fuzzy, substr) = concurrently(
       () => Candidates.exactEdges(idx.members).localCheckpoint(),
       () => FindStage.verifyPairs(cands, idx, conf.minScore).localCheckpoint(),

@@ -136,9 +136,14 @@ object Candidates {
       .localCheckpoint(false)
     val contained = longK
       .select(col("item_id").as("a_id"), xxhash64(col("key").substr(lit(1), lit(prefixLen))).as("pfx"))
+    // cap counts distinct CONTAINERS per prefix, not occurrences: a few
+    // long keys with internally repeated L-grams must not push a prefix
+    // past the cap and silently drop genuine containment pairs (round-2
+    // ADVICE). approx_count_distinct (HLL, ~2% err) suffices — the cap is
+    // a fanout bound, not an exact semantic
     val okPfx = containers
       .groupBy("pfx")
-      .agg(count(lit(1)).as("n"))
+      .agg(approx_count_distinct(col("b_id")).as("n"))
       .filter(col("n") <= maxBucket)
       .select("pfx")
     val candidatePairs = containers

@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.api.FuzzyPipeline
+import graft.audio.{ClipSynth, Invariant}
+import graft.conf.FuzzyConf
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only per-stage profiler for the flagship job (test scope — never
+  * ships). Usage:
+  *   sbt 'Test/runMain graft.tools.Profile <cores> <clips>'
+  * Prints wall seconds per flagship stage so scaling work targets the
+  * measured floor, not guesses.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val cores = if (args.length > 0) args(0).toInt else 32
+    val clips = if (args.length > 1) args(1).toLong else 400000L
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-profile-$cores")
+      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      a
+    }
+
+    // small warmup for JIT
+    locally {
+      val p = FuzzyPipeline(spark, ClipSynth.table(spark, 10000, includeAudio = false),
+        "clip_id", "transcript", FuzzyConf())
+      p.clusters().count()
+      Invariant.check(ClipSynth.table(spark, 5000)).filter("pcm_ok").count()
+    }
+    println(s"[profile] === cores=$cores clips=$clips ===")
+
+    val total0 = System.nanoTime()
+    t("invariant") {
+      Invariant.check(ClipSynth.table(spark, clips)).filter("pcm_ok and transcript_ok").count()
+    }
+    val p = FuzzyPipeline(spark, ClipSynth.table(spark, clips, includeAudio = false),
+      "clip_id", "transcript", FuzzyConf())
+    t("index.items") { p.index.items.count() }
+    t("index.members") { p.index.members.count() }
+    t("index.sigs") { p.index.sigs.count() }
+    t("candidates") { p.candidatePairs().count() }
+    t("edges") { p.dedupEdges().count() }
+    t("clusters") { p.clusters().count() }
+    println(f"[profile] TOTAL                  ${(System.nanoTime() - total0) / 1e9}%8.2f s")
+    spark.stop()
+  }
+}
