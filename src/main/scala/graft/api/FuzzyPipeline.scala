@@ -151,7 +151,10 @@ final case class FuzzyPipeline(
   }
 
   /** Candidate pairs from all generation passes (LSH + SimHash), distinct.
-    * Memoized: each stage materializes once per pipeline instance
+    * One FUSED bucket self-join over the combined band + chunk key space
+    * (Candidates.fusedPairs): the two passes were separate chains in round
+    * 2 and their serial stage latency — not their work — capped scaling.
+    * Memoized: the stage materializes once per pipeline instance
     * (localCheckpoint, unlike the cache manager, does not dedupe repeated
     * identical plans).
     */
@@ -159,13 +162,9 @@ final case class FuzzyPipeline(
   private lazy val candidatesMemo: DataFrame = {
     val idx = index // lazy-val init on THIS thread (see edgesMemo monitor note)
     idx.sigs.count() // force ONCE so racing branches read blocks, not lineage
-    val Seq(lsh, sim) = concurrently(
-      () => Candidates.lshPairs(
-        idx.bands, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket).localCheckpoint(),
-      () => Candidates.simhashPairs(
-        idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
-        .localCheckpoint())
-    ckpt("candidates")(lsh.unionByName(sim).distinct())
+    ckpt("candidates")(
+      Candidates.fusedPairs(
+        idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket))
   }
 
   /** Verified duplicate edges at 10^12 scale:

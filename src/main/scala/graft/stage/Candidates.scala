@@ -54,21 +54,46 @@ object Candidates {
       keyed: DataFrame,
       cap: Int,
       saltChunk: Int,
-      maxSalted: Int): DataFrame = {
+      maxSalted: Int): DataFrame =
+    taggedSelfPairs(
+      keyed.select(col("bkey"), lit(0).as("ktype"), col("item_id"), lit(0L).as("sh")),
+      cap, saltChunk, maxSalted, maxHamming = 0)
+
+  /** [[bucketSelfPairs]] generalized to a mixed key space: `keyed` has
+    * columns (bkey, ktype, item_id, sh). Rows with ktype = 1 are SimHash
+    * chunk keys carrying the full fingerprint in `sh`; pairs from those
+    * buckets are kept only at hamming(a_sh, b_sh) <= maxHamming, and the
+    * filter runs BEFORE the pair distinct. That placement is the scale
+    * lever: at corpus size n the raw 15-bit-chunk collision volume is
+    * ~n^2/2^15 pairs (~8M rows at 400k items), and round 2 shuffled all of
+    * it through a distinct plus two signature re-joins before filtering —
+    * here the xor/bit_count runs inside the join stage and only survivors
+    * (plus LSH pairs) reach the distinct.
+    */
+  private[stage] def taggedSelfPairs(
+      keyed: DataFrame,
+      cap: Int,
+      saltChunk: Int,
+      maxSalted: Int,
+      maxHamming: Int): DataFrame = {
     val sizes = keyed
-      .groupBy("bkey")
+      .groupBy("bkey", "ktype")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > 1 && col("bucket_n") <= maxSalted)
     // materialized (lazily): four downstream branches (small a/b, hot A/B)
     // scan this table — without a checkpoint each branch would recompute
     // keyed's whole lineage (band-key extraction over the corpus)
-    val withN = keyed.join(sizes, Seq("bkey")).localCheckpoint(false)
+    val withN = keyed.join(sizes, Seq("bkey", "ktype")).localCheckpoint(false)
+    val keep = (col("ktype") =!= 1) ||
+      bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming
 
     val small = withN.filter(col("bucket_n") <= cap)
     val smallPairs = small
-      .select(col("bkey"), col("item_id").as("a_id"))
-      .join(small.select(col("bkey"), col("item_id").as("b_id")), Seq("bkey"))
-      .filter(col("a_id") < col("b_id"))
+      .select(col("bkey"), col("ktype"), col("item_id").as("a_id"), col("sh").as("a_sh"))
+      .join(
+        small.select(col("bkey"), col("ktype"), col("item_id").as("b_id"), col("sh").as("b_sh")),
+        Seq("bkey", "ktype"))
+      .filter(col("a_id") < col("b_id") && keep)
       .select("a_id", "b_id")
 
     val hot = withN
@@ -76,15 +101,19 @@ object Candidates {
       .withColumn("n_chunks", ceil(col("bucket_n").cast("double") / saltChunk).cast("int"))
     val hotA = hot.select(
       col("bkey"),
+      col("ktype"),
       pmod(xxhash64(col("item_id")), col("n_chunks").cast("long")).cast("int").as("chunk"),
-      col("item_id").as("a_id"))
+      col("item_id").as("a_id"),
+      col("sh").as("a_sh"))
     val hotB = hot.select(
       col("bkey"),
+      col("ktype"),
       explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk"),
-      col("item_id").as("b_id"))
+      col("item_id").as("b_id"),
+      col("sh").as("b_sh"))
     val hotPairs = hotA
-      .join(hotB, Seq("bkey", "chunk"))
-      .filter(col("a_id") < col("b_id"))
+      .join(hotB, Seq("bkey", "ktype", "chunk"))
+      .filter(col("a_id") < col("b_id") && keep)
       .select("a_id", "b_id")
 
     smallPairs.unionByName(hotPairs).distinct()
@@ -162,10 +191,21 @@ object Candidates {
       .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
   }
 
+  /** SimHash chunk key for chunk position c: the c-th 15-bit slice of the
+    * fingerprint, offset into its own range so the four positions never
+    * collide. Logical (unsigned) shift: arithmetic sign extension would
+    * fold the sign bit into every chunk and split buckets for pairs whose
+    * fingerprints differ only at bit 63 (a 1-bit hamming miss in round 2's
+    * `%`-based string keys).
+    */
+  private def chunkKey(sh: org.apache.spark.sql.Column, c: Int) =
+    shiftrightunsigned(sh, 15 * c).bitwiseAND(lit(0x7fffL)) + lit(c.toLong << 15)
+
   /** Unordered candidate pairs from SimHash chunk collisions at
-    * hamming distance <= maxHamming (pigeonhole over 4 x 15-bit chunks).
-    * Shares the three-regime skew handling of [[bucketSelfPairs]]; the
-    * hamming verification rejoins the fingerprints after pair generation.
+    * hamming distance <= maxHamming (pigeonhole over 4 x 15-bit chunks:
+    * <= 3 differing bits leave at least one chunk identical). Shares the
+    * three-regime skew handling of [[taggedSelfPairs]]; the hamming filter
+    * runs inside the bucket join, before the pair distinct.
     */
   def simhashPairs(
       sigs: DataFrame,
@@ -174,15 +214,38 @@ object Candidates {
       saltChunk: Int = 64,
       maxSaltedBucket: Int = 4096): DataFrame = {
     val chunked = sigs.select(
+      explode(array((0 until 4).map(c => chunkKey(col("simhash"), c)): _*)).as("bkey"),
+      lit(1).as("ktype"),
       col("item_id"),
-      explode(array((0 until 4).map { c =>
-        concat(lit(s"$c:"), (shiftright(col("simhash"), 15 * c) % lit(1L << 15)).cast("string"))
-      }: _*)).as("bkey"))
-    val pairs = bucketSelfPairs(chunked, maxBandBucket, saltChunk, maxSaltedBucket)
-    pairs
-      .join(sigs.select(col("item_id").as("a_id"), col("simhash").as("a_sh")), Seq("a_id"))
-      .join(sigs.select(col("item_id").as("b_id"), col("simhash").as("b_sh")), Seq("b_id"))
-      .filter(bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming)
-      .select("a_id", "b_id")
+      col("simhash").as("sh"))
+    taggedSelfPairs(chunked, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming)
+  }
+
+  /** LSH band keys and SimHash chunk keys fused into ONE keyed table ->
+    * one bucket-size aggregation, one materialization, one self-join, one
+    * distinct — half the candidate-generation stage chain of running
+    * [[lshPairs]] and [[simhashPairs]] separately. The serial length of
+    * that chain is what bounds single-box (and per-executor) scaling; the
+    * work per stage is identical. Band keys and chunk keys live in
+    * disjoint (bkey, ktype) spaces, so bucket contents — and therefore the
+    * emitted pair set — match the separate passes exactly.
+    */
+  def fusedPairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBandBucket: Int,
+      saltChunk: Int = 64,
+      maxSaltedBucket: Int = 4096): DataFrame = {
+    val keyed = sigs
+      .select(
+        col("item_id"),
+        col("simhash"),
+        explode(concat(
+          transform(col("band_hashes"), b => struct(b.as("bkey"), lit(0).as("ktype"))),
+          array((0 until 4).map(c =>
+            struct(chunkKey(col("simhash"), c).as("bkey"), lit(1).as("ktype"))): _*))).as("k"))
+      .select(col("k.bkey").as("bkey"), col("k.ktype").as("ktype"), col("item_id"),
+        col("simhash").as("sh"))
+    taggedSelfPairs(keyed, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming)
   }
 }

@@ -31,6 +31,11 @@ object Cluster {
   /** edges: (a_id, b_id) undirected; vertices: one column `id` (superset of
     * edge endpoints). Returns (id, component) where component = min id in
     * the component.
+    *
+    * The loop iterates over edge ENDPOINTS only: a vertex with no edge can
+    * never change label, so the (typically corpus-sized) singleton set
+    * joins back once at the end instead of riding through every
+    * iteration's shuffles — at bench scale endpoints are ~10% of vertices.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges
@@ -39,56 +44,67 @@ object Cluster {
       .distinct()
       .localCheckpoint()
 
-    var labels = vertices
-      .select(col("id"))
+    var labels = sym
+      .select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    var gen: DataFrame = labels // current generation's RAW checkpointed DF
 
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
-      // neighbor minimum
-      val nbrMin = sym
-        .join(labels.select(col("id").as("src"), col("component").as("src_comp")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("src_comp")).as("nbr_comp"))
-
-      // persisted within the iteration: consumed by BOTH branches of the
-      // pointer-jump self-join (exchange reuse can't kick in — the branches
-      // shuffle on different keys), so without a cache the nbrMin
-      // aggregation would run twice
-      val stepped = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+      // min(self, neighbors) in ONE shuffle: the neighbor-label rows and
+      // the self rows union into a single groupBy (round 2 ran a groupBy
+      // plus a separate labels join). The previous label rides along as
+      // old_comp — only self rows carry it, max() picks it out — so
+      // convergence detection needs no extra join either.
+      val nbr = sym
+        .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast(labels.schema("component").dataType).as("old_comp"))
+      val stepped = nbr
+        .unionByName(labels.select(col("id"), col("component"), col("component").as("old_comp")))
+        .groupBy("id")
+        .agg(min("component").as("component"), max("old_comp").as("old_comp"))
+        // persisted within the iteration: consumed by BOTH branches of the
+        // pointer-jump self-join (exchange reuse can't kick in — the
+        // branches shuffle on different keys), so without a cache the
+        // aggregation would run twice
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // pointer jumping: component := label(component); eager checkpoint
-      // materializes the new generation and truncates its plan
+      // pointer jumping: component := label(component) — halves tree height
+      // each round; eager checkpoint materializes the new generation and
+      // truncates its plan
       val jumped = stepped
         .join(
           stepped.select(col("id").as("component"), col("component").as("parent_comp")),
           Seq("component"),
           "left")
-        .select(col("id"), coalesce(col("parent_comp"), col("component")).as("component"))
+        .select(
+          col("id"),
+          coalesce(col("parent_comp"), col("component")).as("component"),
+          col("old_comp"))
         .localCheckpoint()
 
-      // full count, no limit-1 early exit: both inputs are materialized, so
-      // the scan is trivial, and a limit's task CANCELLATION floods the log
+      // full count over the just-materialized blocks (no join, no shuffle);
+      // no limit-1 early exit — a limit's task CANCELLATION floods the log
       // with late-completion "non-existent accumulator" errors
-      val changed = jumped
-        .join(labels.withColumnRenamed("component", "old_comp"), Seq("id"))
-        .filter(col("component") =!= col("old_comp"))
-        .count()
+      val changed = jumped.filter(col("component") =!= col("old_comp")).count()
       stepped.unpersist(false)
-      freeCheckpoint(labels) // superseded generation — the round-1 leak
+      freeCheckpoint(gen) // superseded generation — the round-1 leak
       converged = changed == 0
-      labels = jumped
+      gen = jumped
+      labels = jumped.select("id", "component")
       iter += 1
     }
+    // singletons re-enter here; edge endpoints take their loop label
+    val out = vertices
+      .select(col("id"))
+      .distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     freeCheckpoint(sym)
-    labels
+    out
   }
 }
