@@ -27,6 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in one JVM; sort/agg buffers at
-  // bench scale need real heap (the box has 128 GiB)
+  // bench scale need real heap (the box has 128 GiB). Fixed Xms avoids
+  // heap-resize pauses mid-bench.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Throughput collector: G1 treats Spark's task-sized sort/serialization
+  // buffers (> half its 16 MB region at this heap) as humongous objects;
+  // 32 concurrent tasks allocating them trigger humongous-allocation
+  // storms and full GCs that grow with task count — a direct inverse-
+  // scaling mechanism at local[4N] vs local[N]. ParallelGC has no region
+  // size cliff and wins for batch throughput here.
+  "-XX:+UseParallelGC",
 )

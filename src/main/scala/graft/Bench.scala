@@ -34,19 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession
+  /** `flagship = true` sessions get the dedup-tuned AQE advisory; the
+    * inventory session keeps Spark defaults. Round 2 applied the 8 MB
+    * advisory globally and fragmented the small inventory queries into
+    * per-task overhead (q_grams3 0.19 -> 3.6 s, q_lev_rerank 20 -> 44 s on
+    * the driver's box) — the advisory exists for the flagship's
+    * compute-dense-but-small shuffles only.
+    */
+  private def session(cores: Int, flagship: Boolean): SparkSession = {
+    val b = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", (2 * cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // this workload's cost is CPU per row (hashing, Levenshtein,
-      // contains()), not bytes: AQE's default 64 MB advisory target
-      // coalesces compute-heavy-but-small shuffles down to a handful of
-      // tasks and serializes them; 8 MB keeps post-shuffle stages wide
-      // enough to use the cluster
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       // shuffle/spill files on tmpfs: the sandbox's /tmp sits on a
       // throttled virtual disk whose writeback stalls scale with writer
       // count and distort the N-vs-4N comparison; a real cluster's local
@@ -55,7 +56,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // flagship cost is CPU per row (hashing, Levenshtein, contains()), not
+    // bytes: AQE's default 64 MB advisory coalesces its compute-heavy-but-
+    // small shuffles down to a handful of tasks and serializes them; 8 MB
+    // keeps post-shuffle stages wide enough to use the cluster
+    if (flagship) b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -122,16 +128,17 @@ object Bench {
 
     // phase 0: warmup (untimed) — same job shape at 5% size
     locally {
-      val w = session(coresN)
+      val w = session(coresN, flagship = true)
       flagship(w, math.max(nClips / 20, 1000))
       w.stop()
     }
 
     // phases 1+2: the flagship at N and 4N cores, each in a fresh session,
-    // repeated `reps` times; MIN per core-count is reported (the sandbox is
-    // a shared host — min-of-k rejects noisy-neighbor outliers; every raw
-    // run is still emitted in the JSON for inspection)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // INTERLEAVED (N, 4N, N, 4N, ...) so shared-host noise windows hit both
+    // widths equally, repeated `reps` times; MIN per core-count is the
+    // headline (min-of-k estimates machine capability, not neighbor load)
+    // and the MEDIAN is reported alongside, with every raw run in the JSON
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
     var passN = 0L
     var pass4 = 0L
     var rows = 0L
@@ -140,7 +147,7 @@ object Bench {
     val runsN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val runs4 = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (rep <- 1 to reps; cores <- Seq(coresN, cores4N)) {
-      val s = session(cores)
+      val s = session(cores, flagship = true)
       val ((pass, nRows, clusters), secs) = timed(flagship(s, nClips))
       if (cores == coresN) { passN = pass; runsN += secs }
       else {
@@ -152,13 +159,19 @@ object Bench {
       }
       s.stop()
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val secsN = runsN.min
     val secs4 = runs4.min
+    val secsNMed = median(runsN.toSeq)
+    val secs4Med = median(runs4.toSeq)
 
     // phase 3: operator inventory + standalone audio invariant, fresh
     // session (SPARK_GRAFT_SKIP_QUERIES=1 skips the inventory when
     // iterating on the flagship locally; the driver never sets it)
-    val sparkQ = session(cores4N)
+    val sparkQ = session(cores4N, flagship = false)
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
     val results =
       (if (skipQueries) Seq.empty else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
@@ -181,6 +194,7 @@ object Bench {
     val thr4 = nClips / secs4
     val thrN = nClips / secsN
     val eff = (thr4 / thrN) / (cores4N.toDouble / coresN)
+    val effMed = (secsNMed / secs4Med) / (cores4N.toDouble / coresN)
     val recall = if (planted == 0) 1.0 else hit.toDouble / planted
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -190,8 +204,10 @@ object Bench {
       s"""{"rows":$nClips,"clusters":$rows,"recall":$recall,"planted_pairs":$planted,""" +
         s""""recall_hits":$hit,"invariant_pass_N":$passN,"invariant_pass_4N":$pass4,""" +
         s""""clips_per_sec_4N":$thr4,"clips_per_sec_N":$thrN,""" +
-        s""""scaling_efficiency":$eff,"cores_N":$coresN,"cores_4N":$cores4N,""" +
+        s""""scaling_efficiency":$eff,"scaling_efficiency_median":$effMed,""" +
+        s""""cores_N":$coresN,"cores_4N":$cores4N,""" +
         s""""secs_N":$secsN,"secs_4N":$secs4,""" +
+        s""""secs_N_median":$secsNMed,"secs_4N_median":$secs4Med,""" +
         s""""secs_N_runs":[${runsN.mkString(",")}],"secs_4N_runs":[${runs4.mkString(",")}]}"""
     val audio =
       s"""{"clips":$nAudio,"invariant_pass":$audioOk,"secs":$audioSecs,""" +

@@ -43,13 +43,15 @@ package graft.conf
   *                       bounded by saltChunk x bucket instead of bucket^2
   *                       in a single task
   * @param saltChunk      target members per salt chunk inside a hot bucket
-  * @param maxSaltedBucket buckets beyond even the salted regime are
-  *                       dropped: a bucket that size is a near-constant
-  *                       band (its pair count is quadratic no matter how
-  *                       it is partitioned), not a duplicate cluster;
-  *                       byte-identical floods still connect through the
-  *                       exact pass, near-dups through their other bands /
-  *                       SimHash / substring passes
+  * @param maxSaltedBucket buckets beyond even the salted regime switch to
+  *                       STAR candidates (member -> bucket-min, linear in
+  *                       bucket size): all-pairs volume is quadratic no
+  *                       matter the partitioning, but a genuine
+  *                       near-identical flood is a real duplicate cluster,
+  *                       and its spanning star is all that connected
+  *                       components needs; degenerate near-constant bands
+  *                       are pruned by verification at |bucket| cost
+  *                       (Candidates.taggedSelfPairs scaladoc)
   * @param maxPostingsPerGram stop-list threshold: grams whose document
   *                       frequency exceeds this are dropped from the
   *                       candidate join (they only add quadratic pairs);

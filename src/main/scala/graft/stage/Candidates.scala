@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * Three passes, all equi-joins (shuffle-hash/sort-merge under AQE):
   *  - exact: star edges inside identical-key groups — O(group) not
   *    O(group^2), since connected components only needs a spanning star
-  *  - MinHash/LSH: self-join on band keys; HOT buckets (>= maxBandBucket
-  *    members) are dropped — a bucket that size means a near-constant
-  *    signature band, and its members still pair through their other
-  *    bands / the exact pass; dropping bounds worst-case pair fanout
+  *  - MinHash/LSH: self-join on band keys; three skew regimes by bucket
+  *    size — direct, salted all-pairs, and STAR (member -> bucket-min,
+  *    linear) for flood-sized buckets, so worst-case pair fanout stays
+  *    bounded without losing genuine near-identical floods
   *  - SimHash: self-join on 15-bit fingerprint chunks (4 chunks of the
   *    60-bit fingerprint => any pair within hamming distance 3 shares at
   *    least one exact chunk), verified by bit_count(xor) <= maxHamming
@@ -45,8 +45,8 @@ object Candidates {
     *    exactly once (ordered pair (a,b) materializes only in a's home
     *    chunk; a < b filter halves), but per-task work is bounded by
     *    saltChunk x m instead of m^2 serializing in one task;
-    *  - m > maxSalted: dropped (see FuzzyConf.maxSaltedBucket — quadratic
-    *    pair volume no matter the partitioning; not a duplicate cluster).
+    *  - m > maxSalted: STAR — each member pairs with the bucket minimum
+    *    only (see FuzzyConf.maxSaltedBucket and [[taggedSelfPairs]]).
     *
     * `keyed` must have columns (bkey, item_id).
     */
@@ -69,6 +69,18 @@ object Candidates {
     * it through a distinct plus two signature re-joins before filtering —
     * here the xor/bit_count runs inside the join stage and only survivors
     * (plus LSH pairs) reach the distinct.
+    *
+    * Buckets beyond maxSalted enter the STAR regime (round 2 dropped
+    * them): each member pairs with the bucket minimum only — |bucket|
+    * candidates instead of |bucket|^2/2. A genuine near-identical flood IS
+    * a real duplicate cluster that produces exactly such buckets; the star
+    * is the spanning structure connected components needs, and
+    * verification prunes the two failure shapes cheaply: a DEGENERATE band
+    * (near-constant signature band over dissimilar items) yields star
+    * edges that fail the signature gate at |bucket| cost, and a
+    * chain-shaped flood whose far ends fail rep-verification still
+    * recovers through its other, independent band draws (only buckets
+    * > maxSalted go star).
     */
   private[stage] def taggedSelfPairs(
       keyed: DataFrame,
@@ -79,10 +91,10 @@ object Candidates {
     val sizes = keyed
       .groupBy("bkey", "ktype")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxSalted)
-    // materialized (lazily): four downstream branches (small a/b, hot A/B)
-    // scan this table — without a checkpoint each branch would recompute
-    // keyed's whole lineage (band-key extraction over the corpus)
+      .filter(col("bucket_n") > 1)
+    // materialized (lazily): five downstream branches (small a/b, hot A/B,
+    // flood) scan this table — without a checkpoint each branch would
+    // recompute keyed's whole lineage (band-key extraction over the corpus)
     val withN = keyed.join(sizes, Seq("bkey", "ktype")).localCheckpoint(false)
     val keep = (col("ktype") =!= 1) ||
       bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming
@@ -97,7 +109,7 @@ object Candidates {
       .select("a_id", "b_id")
 
     val hot = withN
-      .filter(col("bucket_n") > cap)
+      .filter(col("bucket_n") > cap && col("bucket_n") <= maxSalted)
       .withColumn("n_chunks", ceil(col("bucket_n").cast("double") / saltChunk).cast("int"))
     val hotA = hot.select(
       col("bkey"),
@@ -116,7 +128,18 @@ object Candidates {
       .filter(col("a_id") < col("b_id") && keep)
       .select("a_id", "b_id")
 
-    smallPairs.unionByName(hotPairs).distinct()
+    // star regime: member -> bucket-min edges, one per member
+    val flood = withN.filter(col("bucket_n") > maxSalted)
+    val floodMin = flood
+      .groupBy("bkey", "ktype")
+      .agg(min("item_id").as("a_id"), min_by(col("sh"), col("item_id")).as("a_sh"))
+    val floodPairs = flood
+      .select(col("bkey"), col("ktype"), col("item_id").as("b_id"), col("sh").as("b_sh"))
+      .join(floodMin, Seq("bkey", "ktype"))
+      .filter(col("a_id") < col("b_id") && keep)
+      .select("a_id", "b_id")
+
+    smallPairs.unionByName(hotPairs).unionByName(floodPairs).distinct()
   }
 
   /** Unordered candidate pairs (a_id < b_id) from LSH band collisions. */
@@ -158,10 +181,7 @@ object Candidates {
     // DIFFERENT keys, so exchange reuse cannot share the explode.
     val containers = longK
       .select(col("item_id").as("b_id"),
-        explode(
-          transform(
-            sequence(lit(1), col("klen") - (prefixLen - 1)),
-            i => xxhash64(col("key").substr(i, lit(prefixLen))))).as("pfx"))
+        explode(prefixHashes(prefixLen)(col("key"))).as("pfx"))
       .localCheckpoint(false)
     val contained = longK
       .select(col("item_id").as("a_id"), xxhash64(col("key").substr(lit(1), lit(prefixLen))).as("pfx"))
@@ -190,6 +210,37 @@ object Candidates {
       .filter(col("score") >= minRatio)
       .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
   }
+
+  /** All sliding length-L window hashes of a key, value-identical to
+    * `xxhash64(substr(key, i, L))` (same XXH64, same seed 42), in one tight
+    * Scala pass: the column form runs a transform() lambda in the HOF
+    * interpreter per window — at |corpus| x |key| windows it was ~half the
+    * substring pass's cost (round-3 profile: 67 s / 48% GC at 400k items).
+    * ASCII keys hash windows in place over the UTF8 bytes (zero copies);
+    * multi-byte keys fall back to per-window substrings for char-correct
+    * offsets.
+    */
+  private[stage] def prefixHashes(prefixLen: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (key: String) =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+      val nChars = u.numChars()
+      val n = math.max(nChars - prefixLen + 1, 0)
+      val out = new Array[Long](n)
+      val ascii = u.numBytes == nChars
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (ascii)
+            XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset + i, prefixLen, 42L)
+          else {
+            val s = u.substring(i, i + prefixLen)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          }
+        i += 1
+      }
+      out
+    }
 
   /** SimHash chunk key for chunk position c: the c-th 15-bit slice of the
     * fingerprint, offset into its own range so the four positions never
@@ -236,16 +287,25 @@ object Candidates {
       maxBandBucket: Int,
       saltChunk: Int = 64,
       maxSaltedBucket: Int = 4096): DataFrame = {
+    // one tight Scala pass per row, NOT transform()+struct() columns: higher-
+    // order-function lambdas run in the expression interpreter per element
+    // (graft perf note — the round-2 profile's hottest stage was exactly
+    // such a band-key HOF), and this explode emits bands+4 rows per item
+    val keys = udf { (bands: Seq[Long], sh: Long) =>
+      val out = new Array[(Long, Int)](bands.length + 4)
+      var i = 0
+      while (i < bands.length) { out(i) = (bands(i), 0); i += 1 }
+      var c = 0
+      while (c < 4) {
+        out(bands.length + c) = (((sh >>> (15 * c)) & 0x7fffL) + (c.toLong << 15), 1)
+        c += 1
+      }
+      out
+    }
     val keyed = sigs
-      .select(
-        col("item_id"),
-        col("simhash"),
-        explode(concat(
-          transform(col("band_hashes"), b => struct(b.as("bkey"), lit(0).as("ktype"))),
-          array((0 until 4).map(c =>
-            struct(chunkKey(col("simhash"), c).as("bkey"), lit(1).as("ktype"))): _*))).as("k"))
-      .select(col("k.bkey").as("bkey"), col("k.ktype").as("ktype"), col("item_id"),
-        col("simhash").as("sh"))
+      .select(col("item_id"), col("simhash").as("sh"),
+        explode(keys(col("band_hashes"), col("simhash"))).as("k"))
+      .select(col("k._1").as("bkey"), col("k._2").as("ktype"), col("item_id"), col("sh"))
     taggedSelfPairs(keyed, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming)
   }
 }

@@ -185,28 +185,47 @@ object FindStage {
     results.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Above this many candidate pairs the pair side is no longer hinted
+    * broadcast in [[verifyPairs]] (a corpus-scale pair set must shuffle;
+    * a bench/query-scale one should never force the corpus-sized sigs /
+    * items tables through an exchange).
+    */
+  private val broadcastPairLimit = 1000000L
+
   /** Pair verification for candidate pairs (a_id, b_id) — the 10^12-scale
-    * path: the reference scoring kernel applied per candidate pair. Dot
-    * products via a postings equi-join RESTRICTED to candidate ids —
-    * linear in (pairs x shared grams), never all-pairs.
+    * path: the reference scoring kernel applied per candidate pair.
     *
-    * score: with useLevenshtein, levNormSim(key_a, key_b) — identical to
-    * the score the reference rerank would assign; without, the cosine at
-    * the largest gram size the pair shares grams at. Divergence from probe
-    * mode: no per-query top-50 crowding (can only ADD pairs, so recall vs
-    * the oracle is preserved; SURVEY §2.5 tie-break note).
+    * score: with useLevenshtein (the reference default), levNormSim(key_a,
+    * key_b) — identical to the score the reference rerank would assign.
+    * The signature gate already certifies shared grams (see below), so the
+    * lev mode goes straight from gate to keys: no postings join at all.
+    * Without useLevenshtein, the cosine at the largest gram size the pair
+    * shares grams at, via a postings equi-join RESTRICTED to candidate
+    * ids — linear in (pairs x shared grams), never all-pairs. Divergence
+    * from probe mode: no per-query top-50 crowding (can only ADD pairs, so
+    * recall vs the oracle is preserved; SURVEY §2.5 tie-break note).
+    *
+    * `pairs` must be materialized by the caller (it is counted to pick the
+    * broadcast side).
     */
   def verifyPairs(pairs: DataFrame, idx: IndexTables, minScore: Double): DataFrame = {
     val conf = idx.conf
 
+    // the candidate volume is known (caller materializes pairs): when it is
+    // query/bench-sized, hint the pair side broadcast so the corpus-sized
+    // sigs/items tables are scanned in place instead of shuffled; beyond
+    // the limit the hint is withheld and the joins degrade to shuffles
+    val smallPairs = pairs.count() <= broadcastPairLimit
+    def pairSide(df: DataFrame): DataFrame = if (smallPairs) df.hint("broadcast") else df
+
     // signature-estimated Jaccard prefilter: a 128-component compare per
-    // pair (cheap) gates the postings join (pair x shared-grams rows,
-    // expensive). stderr ~ sqrt(j(1-j)/H) ~ 0.045, so the 0.3 cutoff sits
-    // > 5 sigma below any genuinely-near pair (single-edit J >= 0.65);
-    // on vocabulary-dense corpora this drops the candidate volume ~100x.
-    // one-pass UDF, not the zip_with/aggregate HOF composition: HOFs run in
-    // the expression interpreter per element and this compares H components
-    // per candidate pair (gf.estJaccard stays for query-scale use)
+    // pair (cheap) gates the scoring joins. stderr ~ sqrt(j(1-j)/H) ~
+    // 0.045, so the 0.3 cutoff sits > 5 sigma below any genuinely-near
+    // pair (single-edit J >= 0.65); on vocabulary-dense corpora this drops
+    // the candidate volume ~100x. one-pass UDF, not the zip_with/aggregate
+    // HOF composition: HOFs run in the expression interpreter per element
+    // and this compares H components per candidate pair (gf.estJaccard
+    // stays for query-scale use)
     val estJacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var i = 0
       var c = 0
@@ -215,12 +234,32 @@ object FindStage {
     }
     val sa = idx.sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig"))
     val sb = idx.sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig"))
-    val gated = pairs
+    val gatedRaw = pairSide(pairs)
       .join(sa, Seq("a_id"))
       .join(sb, Seq("b_id"))
       .filter(estJacUdf(col("a_sig"), col("b_sig")) >= 0.3)
       .select("a_id", "b_id")
-      .localCheckpoint() // consumed by three branches below
+
+    if (conf.useLevenshtein) {
+      // estJaccard >= 0.3 means >= ceil(0.3 * H) equal MinHash components,
+      // and an equal component is (64-bit collision aside) a SHARED gramHi
+      // shingle — exactly the shared-gram existence the reference's
+      // inverted-index walk establishes before its rerank. The lev-mode
+      // score never reads the dot product, so the postings machinery the
+      // round-2 path ran here (prune + two pair-gram joins + groupBy +
+      // window: the most expensive stages of the whole flagship profile)
+      // added no information. Straight to the keys.
+      val ka = idx.items.select(col("item_id").as("a_id"), col("key").as("a_key"))
+      val kb = idx.items.select(col("item_id").as("b_id"), col("key").as("b_key"))
+      return pairSide(gatedRaw)
+        .join(ka, Seq("a_id"))
+        .join(kb, Seq("b_id"))
+        .withColumn("score", gf.levNormSim(col("a_key"), col("b_key")))
+        .filter(col("score") >= minScore)
+        .select(col("a_id"), col("b_id"), lit("fuzzy").as("kind"), col("score"))
+    }
+
+    val gated = gatedRaw.localCheckpoint() // consumed by three branches below
 
     // semi-join prune postings to candidate ids BEFORE the pair join: the
     // candidate id set is tiny relative to the corpus (broadcast), so the
@@ -252,17 +291,8 @@ object FindStage {
     val w = Window.partitionBy("a_id", "b_id").orderBy(col("gram_size").desc)
     val top = cos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
 
-    val scored =
-      if (conf.useLevenshtein) {
-        val ka = idx.items.select(col("item_id").as("a_id"), col("key").as("a_key"))
-        val kb = idx.items.select(col("item_id").as("b_id"), col("key").as("b_key"))
-        top
-          .join(ka, Seq("a_id"))
-          .join(kb, Seq("b_id"))
-          .withColumn("score", gf.levNormSim(col("a_key"), col("b_key")))
-      } else top.withColumn("score", col("cosine"))
-
-    scored
+    top
+      .withColumn("score", col("cosine"))
       .filter(col("score") >= minScore)
       .select(col("a_id"), col("b_id"), lit("fuzzy").as("kind"), col("score"))
   }

@@ -67,14 +67,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
   test("candidate verification semi-join-prunes postings against the pair set") {
     val clips = (0 until 50).map(i => (f"c$i%03d", s"text number $i words here")).toDF("clip_id", "transcript")
     // raw (unmaterialized) build so the executed plan is inspectable; the
-    // pruned table is checkpointed inside verifyPairs (one corpus scan for
-    // both pair sides), so the pin targets its pre-checkpoint plan
+    // pruned table is checkpointed inside cosine-mode verifyPairs (one
+    // corpus scan for both pair sides), so the pin targets its
+    // pre-checkpoint plan
     val idx = IndexBuild(clips, "clip_id", "transcript", FuzzyConf())
     val pairs = Seq(("c000", "c001"), ("c002", "c003")).toDF("a_id", "b_id")
     val p = plan(graft.stage.FindStage.prunedPostings(pairs, idx))
     p should include("LeftSemi")
-    // and the full verification still runs off a single materialized scan
-    val vp = plan(graft.stage.FindStage.verifyPairs(pairs, idx, 0.33))
-    vp should (include("ExistingRDD") or include("LogicalRDD")) // checkpointed pruned postings
+    // cosine mode still runs off a single materialized pruned-postings scan
+    val idxCos = IndexBuild(clips, "clip_id", "transcript", FuzzyConf(useLevenshtein = false))
+    val vpCos = plan(graft.stage.FindStage.verifyPairs(pairs, idxCos, 0.33))
+    vpCos should (include("ExistingRDD") or include("LogicalRDD")) // checkpointed pruned postings
+  }
+
+  test("lev-mode pair verification broadcasts a small pair side, no postings join") {
+    val clips = (0 until 50).map(i => (f"c$i%03d", s"text number $i words here")).toDF("clip_id", "transcript")
+    val idx = IndexBuild(clips, "clip_id", "transcript", FuzzyConf())
+    val pairs = Seq(("c000", "c001"), ("c002", "c003")).toDF("a_id", "b_id")
+    val vp = graft.stage.FindStage.verifyPairs(pairs, idx, 0.33)
+    vp.collect() // resolve AQE to the final physical plan
+    val p = plan(vp)
+    // the corpus-sized sigs/items sides are never shuffled for a small
+    // pair set: every join is a broadcast join keyed off the pair side
+    p should include("BroadcastHashJoin")
+    // and the lev path reads no postings (gram column never scanned)
+    p should not include "gram_counts"
   }
 }

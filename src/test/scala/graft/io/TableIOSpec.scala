@@ -1,0 +1,75 @@
+package graft.io
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the Iceberg seam (north rule: "checkpoints ... to Iceberg with
+  * per-partition lineage"): the MERGE INTO text, the dir -> table-ident
+  * mapping, the iceberg-mode routing of checkpoint/upsert, and the parquet
+  * branch's insert-only merge semantics (the locally-executable side of the
+  * shared seam — the sandbox ships no Iceberg runtime jar).
+  */
+class TableIOSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stage dir maps to catalog.db.table with sanitized segments") {
+    TableIO.tableIdent("/ckpt/run-2026.08/items") shouldBe "graft.run_2026_08.items"
+    TableIO.tableIdent("edges", "cat") shouldBe "cat.graft_db.edges"
+    TableIO.tableIdent("/x/7runs/edges") shouldBe "graft.t_7runs.edges"
+  }
+
+  test("mergeSql emits insert-only first-writer-wins MERGE INTO") {
+    val sql = TableIO.mergeSql("graft.run1.items", "delta_v", "key", Seq("key", "item_id", "original"))
+    sql shouldBe
+      """MERGE INTO graft.run1.items t
+        |USING delta_v s
+        |ON t.key = s.key
+        |WHEN NOT MATCHED THEN
+        |  INSERT (key, item_id, original) VALUES (s.key, s.item_id, s.original)""".stripMargin
+    // no WHEN MATCHED branch: replaying a delta is a no-op (idempotent),
+    // and existing keys keep their first writer (Internal.hs:111)
+    sql should not include "WHEN MATCHED"
+  }
+
+  test("iceberg-mode checkpoint routes to the v2 catalog write path") {
+    TableIO.formatOverride = Some("iceberg")
+    try {
+      val df = Seq(("a", 1)).toDF("key", "v")
+      // no iceberg catalog is configured in the sandbox: reaching catalog
+      // resolution (rather than the parquet writer) proves the routing
+      val ex = intercept[Exception] {
+        TableIO.checkpoint(spark, "/tmp/graft_iceberg_probe/run1/items", "h1", "items")(df)
+      }
+      ex.getMessage.toLowerCase should (include("catalog") or include("graft"))
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get("/tmp/graft_iceberg_probe/run1/items")) shouldBe false
+    } finally TableIO.formatOverride = None
+  }
+
+  test("iceberg-mode upsert runs mergeSql against the catalog") {
+    TableIO.formatOverride = Some("iceberg")
+    try {
+      val delta = Seq(("k1", "v1")).toDF("key", "value")
+      val ex = intercept[Exception] {
+        TableIO.upsert(spark, "/ckpt/run1/items", delta, "key")
+      }
+      // MERGE INTO graft.run1.items ... fails at catalog resolution
+      ex.getMessage.toLowerCase should (include("catalog") or include("graft"))
+    } finally TableIO.formatOverride = None
+  }
+
+  test("parquet upsert is insert-only first-writer-wins and idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/items"
+    val base = Seq(("k1", "first"), ("k2", "second")).toDF("key", "value")
+    TableIO.upsert(spark, dir, base, "key")
+    // overlapping delta: k2 must keep its first writer; k3 inserts
+    val delta = Seq(("k2", "usurper"), ("k3", "third")).toDF("key", "value")
+    TableIO.upsert(spark, dir, delta, "key")
+    // replay the same delta: no change (MERGE idempotence contract)
+    TableIO.upsert(spark, dir, delta, "key")
+    val got = spark.read.parquet(dir).as[(String, String)].collect().toMap
+    got shouldBe Map("k1" -> "first", "k2" -> "second", "k3" -> "third")
+  }
+}

@@ -30,13 +30,18 @@ class CandidatesSpec extends AnyFunSuite with Matchers {
     salted shouldBe direct
   }
 
-  test("buckets beyond maxSaltedBucket are dropped; others unaffected") {
+  test("buckets beyond maxSaltedBucket switch to the star regime; others unaffected") {
     val keyed = bandsDF(Map("flood" -> 600, "ok" -> 5))
     val pairs = Candidates
       .bucketSelfPairs(keyed, cap = 100, saltChunk = 32, maxSalted = 500)
       .as[(String, String)].collect()
-    pairs.length shouldBe 5 * 4 / 2
-    all(pairs.map(_._1)) should startWith("ok")
+    val (floodPairs, okPairs) = pairs.partition(_._1.startsWith("flood"))
+    okPairs.length shouldBe 5 * 4 / 2
+    // star: exactly one candidate per non-min member, all anchored at the
+    // bucket minimum — |bucket| - 1 edges, not |bucket|^2 / 2
+    floodPairs.length shouldBe 600 - 1
+    all(floodPairs.map(_._1)) shouldBe "flood_i000000"
+    floodPairs.map(_._2).distinct.length shouldBe 599
   }
 
   test("a pair never duplicates across the salted join (a<b once per bucket)") {
