@@ -29,8 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in one JVM; sort/agg buffers at
   // bench scale need real heap (the box has 128 GiB). Fixed Xms avoids
   // heap-resize pauses mid-bench.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // Throughput collector: G1 treats Spark's task-sized sort/serialization
   // buffers (> half its 16 MB region at this heap) as humongous objects;
   // 32 concurrent tasks allocating them trigger humongous-allocation

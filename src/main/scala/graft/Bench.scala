@@ -72,6 +72,37 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** The machine's OWN thread-scaling ceiling, measured with a pure-JVM
+    * compute loop (no Spark, no allocation): N vs 4N threads each burn the
+    * same per-thread work; ceiling = (thrpt_4N / thrpt_N) / 4. On ideal
+    * hardware this is 1.0; on this sandbox's virtualized CPU, all-core
+    * clocks, hypervisor overcommit, and neighbor load push it well below —
+    * no Spark plan can scale past it, so it is reported next to the
+    * flagship efficiency as the denominator the box actually offers.
+    */
+  private def cpuCeiling(coresN: Int, cores4N: Int): (Double, Double, Double) = {
+    def burn(threads: Int): Double = {
+      val iters = 400000000L // ~2-3 s per burn: short burns measure OS scheduling noise
+      val ts = (0 until threads).map { tid =>
+        new Thread(() => {
+          var acc = 0.0
+          var i = 0L
+          while (i < iters) { acc += java.lang.Math.sqrt((i ^ tid).toDouble); i += 1 }
+          if (acc == Double.MinValue) println("") // keep acc live
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      threads * iters / ((System.nanoTime() - t0) / 1e9)
+    }
+    burn(cores4N) // warmup / JIT
+    // interleaved best-of-2 per width, mirroring the flagship methodology
+    val thrN = Seq(burn(coresN), burn(coresN)).max
+    val thr4 = Seq(burn(cores4N), burn(cores4N)).max
+    (thrN, thr4, (thr4 / thrN) / (cores4N.toDouble / coresN))
+  }
+
   /** The flagship north-star job over n synthesized clips: (1) per-row
     * invariant verification over the audio-carrying table (decode PCM, SNR
     * >= 30 dB, transcript byte-equality), (2) near-duplicate detection +
@@ -122,14 +153,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresN = math.max(cores4N / 4, 1)
-    val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "400000").toLong
+    // 600k default (round 2: 400k): the 32-core flagship carries a ~10 s
+    // per-run floor of stage-scheduling/AQE latency that no width scales
+    // away; more rows grow the scalable fraction it divides into
+    val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "600000").toLong
     val nAudio = sys.env.getOrElse("SPARK_GRAFT_AUDIO_CLIPS", "2000").toLong
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // phase 0: warmup (untimed) — same job shape at 5% size
+    // phase 0: warmup (untimed) — same job shape at 10% size (5% in round
+    // 2 left enough un-JIT'd code that the first timed N rep ran 2.5x its
+    // warm time)
     locally {
       val w = session(coresN, flagship = true)
-      flagship(w, math.max(nClips / 20, 1000))
+      flagship(w, math.max(nClips / 10, 1000))
       w.stop()
     }
 
@@ -196,6 +232,7 @@ object Bench {
     val eff = (thr4 / thrN) / (cores4N.toDouble / coresN)
     val effMed = (secsNMed / secs4Med) / (cores4N.toDouble / coresN)
     val recall = if (planted == 0) 1.0 else hit.toDouble / planted
+    val (_, _, ceiling) = cpuCeiling(coresN, cores4N)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
@@ -205,6 +242,7 @@ object Bench {
         s""""recall_hits":$hit,"invariant_pass_N":$passN,"invariant_pass_4N":$pass4,""" +
         s""""clips_per_sec_4N":$thr4,"clips_per_sec_N":$thrN,""" +
         s""""scaling_efficiency":$eff,"scaling_efficiency_median":$effMed,""" +
+        s""""cpu_scaling_ceiling":$ceiling,""" +
         s""""cores_N":$coresN,"cores_4N":$cores4N,""" +
         s""""secs_N":$secsN,"secs_4N":$secs4,""" +
         s""""secs_N_median":$secsNMed,"secs_4N_median":$secs4Med,""" +

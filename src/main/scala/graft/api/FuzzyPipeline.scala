@@ -47,14 +47,22 @@ final case class FuzzyPipeline(
       case Some(dir) => TableIO.checkpoint(spark, s"$dir/$name", hash, name)(df)
       // without a checkpoint dir, materialize the compute-heavy stages so
       // the dedup/signature work runs once, not per consuming join branch.
-      // localCheckpoint (row-based, MEMORY_AND_DISK) beats .cache(): the
-      // columnar in-memory builder is ~3x slower on array-typed columns
-      // (signatures), measured at bench scale. LAZY (eager = false): the
-      // plan is truncated now but blocks persist on first consuming job —
-      // so stages a query never touches (e.g. sigs/members for a plain
-      // findMin) are never computed, and no standalone count() job is paid
-      // per stage (round 1 ran one eager job per stage even when unused).
-      case None => if (mapSideStages(name)) df else df.localCheckpoint(false)
+      // localCheckpoint (row-based) beats .cache(): the columnar in-memory
+      // builder is ~3x slower on array-typed columns (signatures),
+      // measured at bench scale. SERIALIZED storage: these blocks live for
+      // the whole pipeline, and old-gen OBJECT COUNT is what every full GC
+      // traces — deserialized rows held 2+ objects per row across millions
+      // of rows, a measured GC driver that grew with concurrent task
+      // count; packed byte-buffer blocks are O(1) objects per block for
+      // the same bytes. LAZY (eager = false): the plan is truncated now
+      // but blocks persist on first consuming job — so stages a query
+      // never touches (e.g. sigs/members for a plain findMin) are never
+      // computed, and no standalone count() job is paid per stage (round 1
+      // ran one eager job per stage even when unused).
+      case None =>
+        if (mapSideStages(name)) df
+        else df.localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** The six index tables (SURVEY.md §1.2); each stage materializes through

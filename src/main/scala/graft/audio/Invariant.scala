@@ -21,8 +21,7 @@ object Invariant {
   def check(clips: DataFrame, seed: Long = 42L): DataFrame = {
     val snrUdf = udf { (bytes: Array[Byte], baseIdx: Long, durMs: Int) =>
       val (sr, samples) = Wav.fromWav(bytes)
-      val clean = Wav.cleanSignal(baseIdx, sr, durMs)
-      Wav.snrDb(clean, samples.map(_.toDouble))
+      Wav.snrDbVsClean(baseIdx, sr, durMs, samples)
     }
     val expectedTranscript = udf { (i: Long) =>
       ClipSynth.clipAt(i, seed, includeAudio = false).transcript

@@ -28,15 +28,41 @@ object Wav {
     Array.tabulate(n)(t => Amp * math.sin(2.0 * math.Pi * freq * t / srHz))
   }
 
-  /** Synthesize clip i's samples: clean sine + seeded noise at `snrDb`. */
+  /** [[cleanSignal]] through a per-JVM cache: the signal depends on i only
+    * via i % 7, so at most 7 x |sample rates| x |durations| distinct arrays
+    * exist (~140 / ~6 MB for the bench table). math.sin was the dominant
+    * CPU of both synthesis and the SNR check (~2 evaluations per sample per
+    * row); the cache leaves one table build + one check at ~1/50th the
+    * trig. Entries are READ-ONLY by contract. Values bit-identical to the
+    * uncached form (same tabulate expression).
+    */
+  private val cleanCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  def cleanSignalCached(i: Long, srHz: Int, durMs: Int): Array[Double] =
+    cleanCache.computeIfAbsent(
+      ((i % 7).toInt, srHz, durMs),
+      _ => cleanSignal(i, srHz, durMs))
+
+  /** Synthesize clip i's samples: clean sine + seeded noise at `snrDb`.
+    * One pass, no intermediate clean array (same per-sample expression as
+    * [[cleanSignal]], so values are bit-identical to the two-pass form —
+    * the synthesis runs once per row of every bench table and its
+    * allocation rate was a measured GC driver).
+    */
   def synthSamples(i: Long, srHz: Int, durMs: Int, noiseSeed: Long, snrDb: Double = 40.0): Array[Short] = {
-    val clean = cleanSignal(i, srHz, durMs)
+    val clean = cleanSignalCached(i, srHz, durMs)
+    val n = clean.length
     val rng = new java.util.Random(noiseSeed)
     val na = noiseAmp(snrDb)
-    clean.map { c =>
-      val v = c + (rng.nextDouble() * 2.0 - 1.0) * na
-      math.max(Short.MinValue.toDouble, math.min(Short.MaxValue.toDouble, math.rint(v))).toShort
+    val out = new Array[Short](n)
+    var t = 0
+    while (t < n) {
+      val v = clean(t) + (rng.nextDouble() * 2.0 - 1.0) * na
+      out(t) = math.max(Short.MinValue.toDouble, math.min(Short.MaxValue.toDouble, math.rint(v))).toShort
+      t += 1
     }
+    out
   }
 
   /** RIFF/WAVE container around mono pcm_s16le samples. */
@@ -92,6 +118,30 @@ object Wav {
     }
     require(srHz > 0 && samples != null, "missing fmt/data chunk")
     (srHz, samples)
+  }
+
+  /** SNR of decoded samples against the on-the-fly clean sine for clip i,
+    * in dB — no intermediate arrays (the array form allocated the clean
+    * signal plus a short->double copy per row, ~300 KB x corpus: the
+    * invariant phase's measured GC driver). Bit-identical to
+    * `snrDb(cleanSignal(i, sr, durMs), test.map(_.toDouble))`: same
+    * per-index expressions, same accumulation order.
+    */
+  def snrDbVsClean(i: Long, srHz: Int, durMs: Int, test: Array[Short]): Double = {
+    val clean = cleanSignalCached(i, srHz, durMs)
+    val n = clean.length
+    require(test.length == n, s"length mismatch $n vs ${test.length}")
+    var sig = 0.0
+    var err = 0.0
+    var t = 0
+    while (t < n) {
+      val r = clean(t)
+      sig += r * r
+      val e = test(t).toDouble - r
+      err += e * e
+      t += 1
+    }
+    if (err == 0.0) Double.PositiveInfinity else 10.0 * math.log10(sig / err)
   }
 
   /** SNR of `test` against reference signal `ref`, in dB. */

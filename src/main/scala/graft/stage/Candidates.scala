@@ -92,10 +92,21 @@ object Candidates {
       .groupBy("bkey", "ktype")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > 1)
-    // materialized (lazily): five downstream branches (small a/b, hot A/B,
-    // flood) scan this table — without a checkpoint each branch would
-    // recompute keyed's whole lineage (band-key extraction over the corpus)
-    val withN = keyed.join(sizes, Seq("bkey", "ktype")).localCheckpoint(false)
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // six downstream branches (small a/b, hot A/B, flood x2) consume the
+    // keyed-with-size table. When the non-singleton bucket directory is
+    // small (the common case — most band values are unique), BROADCAST it
+    // and let every branch recompute the cheap map-side key explode: no
+    // multi-million-row block-store materialization (whose long-lived
+    // objects were a measured full-GC driver that scaled with task count),
+    // no shuffle for the size join. Beyond the limit, fall back to the
+    // shuffle join materialized once (the 10^12-scale shape).
+    val withN =
+      if (sizes.count() <= bucketDirBroadcastLimit)
+        keyed.join(sizes.hint("broadcast"), Seq("bkey", "ktype"))
+      else
+        keyed.join(sizes, Seq("bkey", "ktype"))
+          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keep = (col("ktype") =!= 1) ||
       bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming
 
@@ -152,15 +163,38 @@ object Candidates {
       bands.select(col("band_key").as("bkey"), col("item_id")),
       maxBandBucket, saltChunk, maxSaltedBucket)
 
+  /** Above this many contained-side keys the sorted prefix-hash array can
+    * no longer broadcast (~8 bytes/key: 20M keys = 160 MB) and the
+    * substring pass falls back to the generic explode-join.
+    */
+  private val substringBroadcastLimit = 20000000L
+
+  /** Above this many non-singleton buckets the bucket-size directory joins
+    * by shuffle instead of broadcast (~32 B/row as an unsafe row: 4M rows
+    * ~ 128 MB broadcast).
+    */
+  private val bucketDirBroadcastLimit = 4000000L
+
   /** Exact substring-containment pairs — the scoped stand-in for the north
     * rule's suffix-array pass (SURVEY §7.4: "per-partition suffix grouping
     * by fixed-length prefix" — documented approximation). A key `a` is a
-    * substring of key `b` iff some suffix of `b` starts with `a`; so join
+    * substring of key `b` iff some suffix of `b` starts with `a`; so match
     * the length-L prefix of every suffix of b (= every L-gram of b)
     * against the length-L prefix of a, then verify real containment. Keys
     * shorter than L fall through to the gram/LSH passes (they are cheap
     * there precisely because they are short). Hot prefixes are capped like
     * LSH buckets.
+    *
+    * Two physical paths, picked by contained-side size:
+    *  - BROADCAST (<= substringBroadcastLimit keys): the distinct
+    *    contained-prefix hashes ship to every task as one sorted long
+    *    array; each container row probes its |key| window hashes against
+    *    it by binary search and emits ONLY the matches. The generic path's
+    *    |corpus| x |key| exploded rows (40M rows / multi-GB checkpoint at
+    *    bench scale — 65% of the stage's wall time was GC) never exist.
+    *  - EXPLODE-JOIN (beyond the limit): every window hash is exploded and
+    *    equi-joined against the contained prefixes — all-shuffle, no
+    *    driver-side state, the 10^12-scale shape.
     *
     * Emits (a_id=contained, b_id=container, kind="substr",
     * score=len(a)/len(b)) for score >= minRatio.
@@ -168,34 +202,44 @@ object Candidates {
   def substringPairs(items: DataFrame, prefixLen: Int, minRatio: Double, maxBucket: Int): DataFrame = {
     val keyed = items.select(col("item_id"), col("key"), length(col("key")).as("klen"))
     val longK = keyed.filter(col("klen") >= prefixLen)
-    // every L-gram of the container key (offsets 1..len-L+1); ONLY
-    // (id, xxhash64(prefix)) travels through the explode + distinct — the
-    // exploded set is |corpus| x |key| rows, so both the key BODY and even
-    // the L-char prefix string are hashed away before the shuffle (an
-    // 8-byte key instead of L chars; a hash collision can only ADD a
-    // candidate pair, and the contains() verification below rejects it)
-    // no per-container distinct: repeated prefixes inside one key are rare
-    // (they would be a 14M-row shuffle to remove) and duplicate candidate
-    // pairs collapse in the final pair distinct anyway. Materialized once —
-    // the hot-prefix aggregation and the candidate join consume it on
-    // DIFFERENT keys, so exchange reuse cannot share the explode.
-    val containers = longK
-      .select(col("item_id").as("b_id"),
-        explode(prefixHashes(prefixLen)(col("key"))).as("pfx"))
-      .localCheckpoint(false)
     val contained = longK
       .select(col("item_id").as("a_id"), xxhash64(col("key").substr(lit(1), lit(prefixLen))).as("pfx"))
+
+    val nContained = longK.count()
+    val matches: DataFrame =
+      if (nContained <= substringBroadcastLimit) {
+        val spark = items.sparkSession
+        val pfxSorted = contained.select("pfx").distinct()
+          .orderBy("pfx").collect().map(_.getLong(0))
+        val bc = spark.sparkContext.broadcast(pfxSorted)
+        val matched = matchedPrefixes(prefixLen, bc)
+        longK.select(col("item_id").as("b_id"), explode(matched(col("key"))).as("pfx"))
+      } else {
+        // ONLY (id, hash) travels through the explode — the key BODY and
+        // even the L-char prefix string are hashed away before the shuffle
+        // (a hash collision can only ADD a candidate pair, and the
+        // contains() verification below rejects it). Materialized once:
+        // the hot-prefix aggregation and the candidate join consume it on
+        // different keys, so exchange reuse cannot share the explode.
+        val containers = longK
+          .select(col("item_id").as("b_id"),
+            explode(prefixHashes(prefixLen)(col("key"))).as("pfx"))
+          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        containers.join(contained.select("pfx").distinct(), Seq("pfx"), "left_semi")
+      }
+
     // cap counts distinct CONTAINERS per prefix, not occurrences: a few
     // long keys with internally repeated L-grams must not push a prefix
     // past the cap and silently drop genuine containment pairs (round-2
     // ADVICE). approx_count_distinct (HLL, ~2% err) suffices — the cap is
-    // a fanout bound, not an exact semantic
-    val okPfx = containers
+    // a fanout bound, not an exact semantic. In broadcast mode `matches`
+    // holds only matching windows, so this aggregation is tiny.
+    val okPfx = matches
       .groupBy("pfx")
       .agg(approx_count_distinct(col("b_id")).as("n"))
       .filter(col("n") <= maxBucket)
       .select("pfx")
-    val candidatePairs = containers
+    val candidatePairs = matches
       .join(okPfx, Seq("pfx"))
       .join(contained, Seq("pfx"))
       .filter(col("a_id") =!= col("b_id"))
@@ -211,35 +255,60 @@ object Candidates {
       .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
   }
 
-  /** All sliding length-L window hashes of a key, value-identical to
-    * `xxhash64(substr(key, i, L))` (same XXH64, same seed 42), in one tight
-    * Scala pass: the column form runs a transform() lambda in the HOF
-    * interpreter per window — at |corpus| x |key| windows it was ~half the
-    * substring pass's cost (round-3 profile: 67 s / 48% GC at 400k items).
-    * ASCII keys hash windows in place over the UTF8 bytes (zero copies);
-    * multi-byte keys fall back to per-window substrings for char-correct
-    * offsets.
+  /** Hash of the length-L window at char offset i, value-identical to
+    * `xxhash64(substr(key, i+1, L))` (same XXH64, same seed 42). ASCII
+    * keys hash in place over the UTF8 bytes (zero copies); multi-byte keys
+    * take per-window substrings for char-correct offsets.
+    */
+  @inline private def windowHash(
+      u: org.apache.spark.unsafe.types.UTF8String,
+      ascii: Boolean,
+      i: Int,
+      prefixLen: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    if (ascii) XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset + i, prefixLen, 42L)
+    else {
+      val s = u.substring(i, i + prefixLen)
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    }
+  }
+
+  /** All sliding length-L window hashes of a key in one tight Scala pass:
+    * the column form runs a transform() lambda in the HOF interpreter per
+    * window — at |corpus| x |key| windows it was ~half the substring
+    * pass's cost (round-3 profile: 67 s / 48% GC at 400k items).
     */
   private[stage] def prefixHashes(prefixLen: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (key: String) =>
-      import org.apache.spark.sql.catalyst.expressions.XXH64
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
-      val nChars = u.numChars()
-      val n = math.max(nChars - prefixLen + 1, 0)
+      val n = math.max(u.numChars() - prefixLen + 1, 0)
+      val ascii = u.numBytes == u.numChars()
       val out = new Array[Long](n)
-      val ascii = u.numBytes == nChars
+      var i = 0
+      while (i < n) { out(i) = windowHash(u, ascii, i, prefixLen); i += 1 }
+      out
+    }
+
+  /** Window hashes of a key that hit the broadcast sorted contained-prefix
+    * array (binary search per window) — the broadcast substring path emits
+    * only these, so no corpus x key explode ever materializes.
+    */
+  private[stage] def matchedPrefixes(
+      prefixLen: Int,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (key: String) =>
+      val set = bc.value
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+      val n = math.max(u.numChars() - prefixLen + 1, 0)
+      val ascii = u.numBytes == u.numChars()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
       var i = 0
       while (i < n) {
-        out(i) =
-          if (ascii)
-            XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset + i, prefixLen, 42L)
-          else {
-            val s = u.substring(i, i + prefixLen)
-            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-          }
+        val h = windowHash(u, ascii, i, prefixLen)
+        if (java.util.Arrays.binarySearch(set, h) >= 0) out += h
         i += 1
       }
-      out
+      out.toArray
     }
 
   /** SimHash chunk key for chunk position c: the c-th 15-bit slice of the
