@@ -153,10 +153,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cores4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresN = math.max(cores4N / 4, 1)
-    // 600k default (round 2: 400k): the 32-core flagship carries a ~10 s
-    // per-run floor of stage-scheduling/AQE latency that no width scales
-    // away; more rows grow the scalable fraction it divides into
-    val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "600000").toLong
+    // 400k, as round 2: an A/B at 600k measured WORSE N->4N efficiency
+    // (0.34 vs 0.39 min-based) — the larger working set pressures the
+    // shared memory subsystem harder at 32 concurrent tasks than at 8, so
+    // growing n does not amortize the stage floor on this box
+    val nClips = sys.env.getOrElse("SPARK_GRAFT_CLIPS", "400000").toLong
     val nAudio = sys.env.getOrElse("SPARK_GRAFT_AUDIO_CLIPS", "2000").toLong
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 

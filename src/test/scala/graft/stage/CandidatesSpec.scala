@@ -53,6 +53,41 @@ class CandidatesSpec extends AnyFunSuite with Matchers {
     pairs.length shouldBe 150 * 149 / 2
   }
 
+  test("fusedPairs emits exactly lshPairs UNION simhashPairs") {
+    import graft.conf.FuzzyConf
+    val conf = FuzzyConf()
+    val clips = graft.audio.ClipSynth.table(spark, 3000, includeAudio = false)
+    val idx = graft.stage.IndexBuild(clips, "clip_id", "transcript", conf)
+    val sigs = idx.sigs.cache()
+    val fused = Candidates
+      .fusedPairs(sigs, 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+      .as[(String, String)].collect().toSet
+    val separate =
+      Candidates.lshPairs(idx.bands, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+        .as[(String, String)].collect().toSet ++
+        Candidates.simhashPairs(sigs, 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+          .as[(String, String)].collect().toSet
+    fused shouldBe separate
+    fused should not be empty // planted dups guarantee collisions
+    sigs.unpersist()
+  }
+
+  test("prefixHashes UDF matches the xxhash64 column on ascii and multibyte keys") {
+    import org.apache.spark.sql.functions.{col, explode, lit, transform, sequence, xxhash64, length => slen}
+    val keys = Seq("alabama arkansas california", "déjà vu naïve café au lait!",
+      "mixed ascii and 中文字符 in one key", "0123456789abcdef").toDF("key")
+    val L = 7
+    val viaUdf = keys
+      .select(col("key"), explode(Candidates.prefixHashes(L)(col("key"))).as("h"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val viaCol = keys
+      .select(col("key"),
+        explode(transform(sequence(lit(1), slen(col("key")) - (L - 1)),
+          i => xxhash64(col("key").substr(i, lit(L))))).as("h"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    viaUdf shouldBe viaCol
+  }
+
   test("simhashPairs with salting still finds hamming<=3 neighbors in a hot chunk bucket") {
     // 120 fingerprints sharing chunk 0 (low 15 bits identical) -> one hot
     // bucket above cap=50; planted neighbor pair differs in 2 high bits
