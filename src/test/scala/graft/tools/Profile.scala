@@ -22,7 +22,8 @@ object Profile {
       .builder()
       .master(s"local[$cores]")
       .appName(s"graft-profile-$cores")
-      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.shuffle.partitions",
+        (sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "2").toInt * cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.local.dir",
