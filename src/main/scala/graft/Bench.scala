@@ -97,9 +97,14 @@ object Bench {
       threads * iters / ((System.nanoTime() - t0) / 1e9)
     }
     burn(cores4N) // warmup / JIT
-    // interleaved best-of-2 per width, mirroring the flagship methodology
-    val thrN = Seq(burn(coresN), burn(coresN)).max
-    val thr4 = Seq(burn(cores4N), burn(cores4N)).max
+    // interleaved (N, 4N, N, 4N) best-of-2 per width — genuinely the same
+    // discipline as the flagship loop (round-3 ADVICE: the previous code
+    // ran both N burns before both 4N burns, so a noisy-neighbor window
+    // could hit one width only and bias the ceiling that headline
+    // efficiency is judged against)
+    val pairs = (1 to 2).map(_ => (burn(coresN), burn(cores4N)))
+    val thrN = pairs.map(_._1).max
+    val thr4 = pairs.map(_._2).max
     (thrN, thr4, (thr4 / thrN) / (cores4N.toDouble / coresN))
   }
 

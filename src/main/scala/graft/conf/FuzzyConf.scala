@@ -56,6 +56,14 @@ package graft.conf
   *                       frequency exceeds this are dropped from the
   *                       candidate join (they only add quadratic pairs);
   *                       verification still uses full gram vectors
+  * @param sigGateMinJaccard MinHash-estimated Jaccard below which a
+  *                       candidate pair is dropped before the scoring
+  *                       joins (FindStage.verifyPairs). The default 0.3
+  *                       sits > 5 sigma below any genuinely-near pair at
+  *                       the default minScore 0.33 (stderr ~
+  *                       sqrt(j(1-j)/H) ~ 0.045 at H=126); a run with a
+  *                       LOWER minScore must lower this gate in step or
+  *                       low-J pairs are silently lost before scoring
   * @param shufflePartitions value for spark.sql.shuffle.partitions
   * @param substringPrefixLen join-key prefix length for the substring-dup
   *                       pass (suffix-array stand-in, SURVEY §7.4)
@@ -77,6 +85,7 @@ final case class FuzzyConf(
     saltChunk: Int = 64,
     maxSaltedBucket: Int = 4096,
     maxPostingsPerGram: Int = 10000,
+    sigGateMinJaccard: Double = 0.3,
     shufflePartitions: Int = 32,
     substringPrefixLen: Int = 16,
     substringMinRatio: Double = 0.5

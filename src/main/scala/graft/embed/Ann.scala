@@ -43,12 +43,29 @@ object Ann {
   def planeEntry(p: Int, d: Int): Long =
     graft.sql.PortableHash.h60(s"$p:$d", 1) % 2001 - 1000
 
+  /** Above this many plane-table entries (dim x planes) the literal-array
+    * form is abandoned: each entry is a Catalyst literal, so at dim 1024+
+    * the plan text/serialization bloats with tens of thousands of nodes
+    * per bucket column (round-3 verdict watch item).
+    */
+  private[embed] val literalPlaneLimit = 1024
+
   /** Sign-bit bucket id over `planes` hyperplanes for a quantized vector:
     * bit p set iff sum_d v[d] * entry(g,d) >= 0, with g = band*planes + p
     * (so each band draws an INDEPENDENT set of hyperplanes from the same
-    * md5 family). The plane vectors are literal arrays (constant-folded).
+    * md5 family). Small plane tables (dim x planes <= 1024 entries, e.g.
+    * the dim-64 driver queries) ship as literal arrays — constant-folded,
+    * DuckDB-reproducible from the plan text alone; larger tables switch to
+    * a broadcast integer plane table read by a one-pass UDF
+    * (value-identical — AnnSpec pins the parity — and the UDF also dodges
+    * the per-element HOF interpreter).
     */
-  def lshBucket(vq: Column, dim: Int, planes: Int, band: Int = 0): Column = {
+  def lshBucket(vq: Column, dim: Int, planes: Int, band: Int = 0): Column =
+    if (dim * planes <= literalPlaneLimit) lshBucketLiteral(vq, dim, planes, band)
+    else lshBucketBroadcast(vq, dim, planes, band)
+
+  /** Literal-array form (plan size O(dim x planes)). */
+  private[embed] def lshBucketLiteral(vq: Column, dim: Int, planes: Int, band: Int): Column = {
     val bits = (0 until planes).map { p =>
       val plane = array((0 until dim).map(d => lit(planeEntry(band * planes + p, d))): _*)
       val proj = aggregate(
@@ -60,11 +77,45 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** Broadcast-plane form (plan size O(1)): the plane matrix is computed
+    * once on the driver and shipped once per executor via a broadcast; the
+    * UDF does one tight integer pass per row. Same md5-derived entries,
+    * same integer math, so bucket values match [[lshBucketLiteral]]
+    * bit-for-bit.
+    */
+  private[embed] def lshBucketBroadcast(vq: Column, dim: Int, planes: Int, band: Int): Column = {
+    val table: Array[Array[Long]] =
+      Array.tabulate(planes, dim)((p, d) => planeEntry(band * planes + p, d))
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(table)
+    val bucketUdf = udf { (v: Seq[Long]) =>
+      val pt = bc.value
+      var bits = 0L
+      var p = 0
+      while (p < pt.length) {
+        val row = pt(p)
+        var s = 0L
+        var d = 0
+        while (d < row.length) { s += v(d) * row(d); d += 1 }
+        if (s >= 0) bits |= (1L << p)
+        p += 1
+      }
+      bits
+    }
+    bucketUdf(vq)
+  }
+
   /** Brute-force cosine top-k: probes (query_id, qv) x corpus (vec_id, v),
     * both quantized. Returns (query_id, item_id, cosine) with rank <= k.
     */
   def bruteTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // quadratic BY CONTRACT (validation baseline — bucketedTopK is the
+    // scale path). Pin the nested-loop build side to the probe set: probes
+    // are the small side of every sane call, and without the hint AQE is
+    // free to broadcast the CORPUS instead, serializing the scan over a
+    // probe-count-sized stream (the round-3 q_embed_topk 2.1 -> 5.7 s
+    // drift was exactly this plan flip)
     val cos = probes
+      .hint("broadcast")
       .join(corpus, col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("v")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))

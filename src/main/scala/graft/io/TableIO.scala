@@ -50,18 +50,26 @@ object TableIO {
     if (cleaned.headOption.exists(_.isDigit)) "t_" + cleaned else cleaned
   }
 
+  /** Backtick-quote a column identifier (round-3 ADVICE: reserved words or
+    * non-identifier characters in a column name must not break or misparse
+    * the generated MERGE text).
+    */
+  private def quoteId(id: String): String = "`" + id.replace("`", "``") + "`"
+
   /** The MERGE INTO emitted for incremental adds in iceberg mode
     * (FuzzyPipeline.withAdded's scale form): insert-only on key absence =
     * the reference's first-writer-wins `add` semantics (rows whose key is
     * already present are dropped, Internal.hs:111). Idempotent: replaying
-    * the same delta matches zero NOT MATCHED rows.
+    * the same delta matches zero NOT MATCHED rows. Column identifiers are
+    * backtick-quoted; `target` is a pre-built catalog.db.table identifier
+    * from [[tableIdent]] (already sanitized) and stays verbatim.
     */
   def mergeSql(target: String, sourceView: String, keyCol: String, cols: Seq[String]): String =
     s"""MERGE INTO $target t
        |USING $sourceView s
-       |ON t.$keyCol = s.$keyCol
+       |ON t.${quoteId(keyCol)} = s.${quoteId(keyCol)}
        |WHEN NOT MATCHED THEN
-       |  INSERT (${cols.mkString(", ")}) VALUES (${cols.map("s." + _).mkString(", ")})""".stripMargin
+       |  INSERT (${cols.map(quoteId).mkString(", ")}) VALUES (${cols.map("s." + quoteId(_)).mkString(", ")})""".stripMargin
 
   /** Insert-only upsert of `delta` into the stage table at `target`,
     * first-writer-wins per `keyCol` — ONE seam, two formats:
@@ -78,6 +86,15 @@ object TableIO {
       spark.sql(mergeSql(tableIdent(target), view, keyCol, delta.columns.toSeq))
     } else {
       import org.apache.spark.sql.functions.col
+      // crash recovery (round-3 ADVICE): a crash between the two moves
+      // below leaves the table only at `._merge_old` — restore it; stale
+      // `._merge_tmp`/`._merge_old` from any earlier crash would otherwise
+      // make the moves throw FileAlreadyExistsException forever
+      val tgtP = Paths.get(target)
+      val oldP = Paths.get(target + "._merge_old")
+      if (!Files.exists(tgtP) && Files.exists(oldP)) Files.move(oldP, tgtP)
+      deleteRecursively(Paths.get(target + "._merge_tmp"))
+      deleteRecursively(oldP)
       val existing =
         if (Files.exists(Paths.get(target)))
           Some(spark.read.format(format).load(target))

@@ -209,8 +209,13 @@ object Candidates {
     val matches: DataFrame =
       if (nContained <= substringBroadcastLimit) {
         val spark = items.sparkSession
+        import spark.implicits._
+        // collect through the primitive Long encoder (round-3 ADVICE): a
+        // collect() of Array[Row] would transiently hold one boxed Long +
+        // one Row per prefix on the driver — several GB near the limit —
+        // where Dataset[Long].collect lands in one primitive array
         val pfxSorted = contained.select("pfx").distinct()
-          .orderBy("pfx").collect().map(_.getLong(0))
+          .orderBy("pfx").as[Long].collect()
         val bc = spark.sparkContext.broadcast(pfxSorted)
         val matched = matchedPrefixes(prefixLen, bc)
         longK.select(col("item_id").as("b_id"), explode(matched(col("key"))).as("pfx"))

@@ -220,12 +220,14 @@ object FindStage {
 
     // signature-estimated Jaccard prefilter: a 128-component compare per
     // pair (cheap) gates the scoring joins. stderr ~ sqrt(j(1-j)/H) ~
-    // 0.045, so the 0.3 cutoff sits > 5 sigma below any genuinely-near
-    // pair (single-edit J >= 0.65); on vocabulary-dense corpora this drops
-    // the candidate volume ~100x. one-pass UDF, not the zip_with/aggregate
-    // HOF composition: HOFs run in the expression interpreter per element
-    // and this compares H components per candidate pair (gf.estJaccard
-    // stays for query-scale use)
+    // 0.045, so the default 0.3 cutoff (conf.sigGateMinJaccard — tied to
+    // the minScore the run uses, see FuzzyConf scaladoc) sits > 5 sigma
+    // below any genuinely-near pair (single-edit J >= 0.65); on
+    // vocabulary-dense corpora this drops the candidate volume ~100x.
+    // one-pass UDF, not the zip_with/aggregate HOF composition: HOFs run
+    // in the expression interpreter per element and this compares H
+    // components per candidate pair (gf.estJaccard stays for query-scale
+    // use)
     val estJacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       var i = 0
       var c = 0
@@ -237,7 +239,7 @@ object FindStage {
     val gatedRaw = pairSide(pairs)
       .join(sa, Seq("a_id"))
       .join(sb, Seq("b_id"))
-      .filter(estJacUdf(col("a_sig"), col("b_sig")) >= 0.3)
+      .filter(estJacUdf(col("a_sig"), col("b_sig")) >= conf.sigGateMinJaccard)
       .select("a_id", "b_id")
 
     if (conf.useLevenshtein) {

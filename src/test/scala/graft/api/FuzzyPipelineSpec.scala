@@ -314,4 +314,55 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     agg.getLong(1) should be > 100L // the fixture actually planted pairs
     agg.getDouble(0) should be >= 0.3
   }
+
+  test("sigGateMinJaccard: lowering minScore + gate together keeps low-J pairs (round-3 verdict)") {
+    // planted LOW-J pairs: a 30-char key and its 8-char prefix share only
+    // ~7 of ~31 distinct 3-grams (J ~ 0.23, under the default 0.3 gate)
+    // yet levNormSim = 1 - 22/30 ~ 0.267 — findable at minScore 0.2. A
+    // run that lowers minScore below 0.33 must lower sigGateMinJaccard in
+    // step; this pins both directions of that contract.
+    val rng = new scala.util.Random(99L)
+    def word(len: Int) = Seq.fill(len)(('a' + rng.nextInt(26)).toChar).mkString
+    val bases = Seq.fill(6)(word(30))
+    val partners = bases.map(_.take(8))
+    val background = Seq.fill(20)(word(15))
+    val corpus = bases ++ partners ++ background
+    val ids = corpus.indices.map(i => f"c$i%06d")
+    val plantedPairs = bases.indices.map(i => norm2(ids(i), ids(bases.size + i))).toSet
+    // rowsPerBand=1: every shared MinHash component is a shared band, so
+    // the low-J pairs are certain LSH candidates and the GATE (not
+    // candidate generation) is the only thing that can drop them
+    val conf = FuzzyConf(minScore = 0.2, sigGateMinJaccard = 0.05,
+      minhashBands = 126, rowsPerBand = 1)
+
+    def fuzzyEdges(c: FuzzyConf): Set[(String, String)] =
+      pipeline(corpus, c).dedupEdges().filter($"kind" === "fuzzy")
+        .select("a_id", "b_id").as[(String, String)].collect()
+        .map { case (a, b) => norm2(a, b) }.toSet
+
+    val lowered = fuzzyEdges(conf)
+    plantedPairs -- lowered shouldBe empty
+    // the lowered-gate scale path matches the exhaustive reference
+    // semantics on every pair ABOVE the gate (the gate's exact contract:
+    // it may only drop pairs whose estimated Jaccard is below it; random
+    // background cross-pairs at minScore 0.2 with est-J < 0.05 are its
+    // documented loss, at any gate > 0)
+    val exhaustive = pipeline(corpus, conf).dedupEdgesExhaustive()
+      .filter($"kind" === "fuzzy").select("a_id", "b_id").as[(String, String)]
+      .collect().map { case (a, b) => norm2(a, b) }.toSet
+    val sigOf: Map[String, Array[Long]] = corpus.zip(ids).map { case (t, id) =>
+      id -> graft.sql.PortableHash.sigAndSimhash(graft.text.Gram.grams(t, conf.gramHi), conf.minhashHashes)._1
+    }.toMap
+    def estJ(a: String, b: String): Double = {
+      val (sa, sb) = (sigOf(a), sigOf(b))
+      sa.indices.count(i => sa(i) == sb(i)).toDouble / sa.length
+    }
+    val aboveGate = exhaustive.filter { case (a, b) => estJ(a, b) >= conf.sigGateMinJaccard }
+    aboveGate -- lowered shouldBe empty
+    plantedPairs -- aboveGate shouldBe empty // fixture sanity: planted pairs sit above the lowered gate
+    // the default 0.3 gate silently loses exactly these pairs — the
+    // failure mode the knob exists to make configurable
+    val defaultGate = fuzzyEdges(conf.copy(sigGateMinJaccard = 0.3))
+    (plantedPairs intersect defaultGate) shouldBe empty
+  }
 }

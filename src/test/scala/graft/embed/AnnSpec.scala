@@ -88,6 +88,50 @@ class AnnSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("broadcast plane path matches the literal path bit-for-bit") {
+    // round-3 verdict watch item: above literalPlaneLimit entries lshBucket
+    // switches from literal arrays to a broadcast plane table + UDF — the
+    // two forms must produce identical buckets (same md5 entries, same
+    // integer math) or the oracle-pinned dim-64 queries and any high-dim
+    // run would disagree
+    val c = corpusDF(40)
+    val lit64 = c.select(col("vec_id"), Ann.lshBucketLiteral(col("v"), 16, 6, 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val bc64 = c.select(col("vec_id"), Ann.lshBucketBroadcast(col("v"), 16, 6, 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    bc64 shouldBe lit64
+  }
+
+  test("dim-1024 bucketedTopK runs through the broadcast path with bounded plans") {
+    // dim x planes = 8192 entries per band — far past literalPlaneLimit, so
+    // this exercises the broadcast form end to end at embedding widths real
+    // models emit; the planted-direction construction keeps recall checkable
+    val dim = 1024
+    val rows = {
+      val rng = new scala.util.Random(11L)
+      (0 until 60).map { i =>
+        val dir = i % 3
+        val v = Array.tabulate(dim)(d =>
+          (if (d % 3 == dir) 1.0f else 0.02f) + (rng.nextFloat() - 0.5f) * 0.05f)
+        (i.toLong, v.toSeq)
+      }
+    }
+    val c = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Ann.quantize(col("embedding")).as("v"))
+    val probes = c.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val bucketCol = Ann.lshBucket(col("v"), dim, planes = 8)
+    // the bucket column's expression tree must NOT carry the plane entries
+    // as literals (plan bloat is the thing this path exists to avoid)
+    bucketCol.toString.length should be < 10000
+    val top = Ann.bucketedTopK(probes, c, dim, planes = 8, k = 4, bands = 2)
+      .as[(Long, Long, Double)].collect()
+    top should not be empty
+    top.foreach { case (q, item, cos) =>
+      (item % 3) shouldBe (q % 3) // same planted direction
+      cos should be > 0.9
+    }
+  }
+
   test("lshBucket is stable and within 2^planes") {
     val c = corpusDF(20).select(col("vec_id"), Ann.lshBucket(col("v"), 16, 6).as("b"))
     val out = c.as[(Long, Long)].collect().toMap

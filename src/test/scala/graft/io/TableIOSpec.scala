@@ -25,12 +25,20 @@ class TableIOSpec extends AnyFunSuite with Matchers {
     sql shouldBe
       """MERGE INTO graft.run1.items t
         |USING delta_v s
-        |ON t.key = s.key
+        |ON t.`key` = s.`key`
         |WHEN NOT MATCHED THEN
-        |  INSERT (key, item_id, original) VALUES (s.key, s.item_id, s.original)""".stripMargin
+        |  INSERT (`key`, `item_id`, `original`) VALUES (s.`key`, s.`item_id`, s.`original`)""".stripMargin
     // no WHEN MATCHED branch: replaying a delta is a no-op (idempotent),
     // and existing keys keep their first writer (Internal.hs:111)
     sql should not include "WHEN MATCHED"
+  }
+
+  test("mergeSql quotes reserved-word and non-identifier column names") {
+    // round-3 ADVICE: unquoted `order`/`a b` would misparse on the real
+    // Iceberg path
+    val sql = TableIO.mergeSql("graft.run1.t", "v", "order", Seq("order", "a b"))
+    sql should include("ON t.`order` = s.`order`")
+    sql should include("INSERT (`order`, `a b`) VALUES (s.`order`, s.`a b`)")
   }
 
   test("iceberg-mode checkpoint routes to the v2 catalog write path") {
@@ -71,5 +79,21 @@ class TableIOSpec extends AnyFunSuite with Matchers {
     TableIO.upsert(spark, dir, delta, "key")
     val got = spark.read.parquet(dir).as[(String, String)].collect().toMap
     got shouldBe Map("k1" -> "first", "k2" -> "second", "k3" -> "third")
+  }
+
+  test("parquet upsert recovers from a crash between the swap moves") {
+    // round-3 ADVICE: simulate a crash AFTER move(target -> ._merge_old)
+    // and BEFORE move(._merge_tmp -> target): the table exists only at
+    // ._merge_old, plus a stale ._merge_tmp — the next upsert must restore
+    // it and proceed instead of throwing FileAlreadyExistsException
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = JF.createTempDirectory("graft_upsert_crash").toString + "/items"
+    Seq(("k1", "first")).toDF("key", "value").write.parquet(dir + "._merge_old")
+    Seq(("junk", "junk")).toDF("key", "value").write.parquet(dir + "._merge_tmp")
+    TableIO.upsert(spark, dir, Seq(("k2", "second")).toDF("key", "value"), "key")
+    val got = spark.read.parquet(dir).as[(String, String)].collect().toMap
+    got shouldBe Map("k1" -> "first", "k2" -> "second")
+    JF.exists(JP.get(dir + "._merge_old")) shouldBe false
+    JF.exists(JP.get(dir + "._merge_tmp")) shouldBe false
   }
 }
