@@ -61,6 +61,14 @@ object Bench {
     // small shuffles down to a handful of tasks and serializes them; 8 MB
     // keeps post-shuffle stages wide enough to use the cluster
     if (flagship) b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    // the flagship overlaps independent jobs (invariant vs dedup chain,
+    // and the three edge branches) from separate threads, each in its own
+    // scheduler pool; FAIR mode makes those pools share task slots instead
+    // of head-of-line-blocking on whichever job submitted first — under
+    // FIFO a wide invariant stage would starve the dedup chain rather than
+    // fill its stage-boundary bubbles. Unconfigured pools get default
+    // weight 1 / minShare 0, which is exactly the even split wanted here.
+    if (flagship) b.config("spark.scheduler.mode", "FAIR")
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -118,17 +126,35 @@ object Bench {
     * Returns (invariant passes, cluster rows, clusters DF for recall).
     */
   private def flagship(spark: SparkSession, n: Long): (Long, Long, DataFrame) = {
-    val audioPass = Invariant
-      .check(ClipSynth.table(spark, n))
-      .filter("pcm_ok and transcript_ok")
-      .count()
-    val clusters = FuzzyPipeline(
-      spark,
-      ClipSynth.table(spark, n, includeAudio = false),
-      "clip_id",
-      "transcript",
-      FuzzyConf()).clusters()
-    (audioPass, clusters.count(), clusters)
+    // the two phases are INDEPENDENT jobs over the same source: invariant
+    // verification (audio decode — pure per-row CPU that scales cleanly)
+    // and the dedup chain (~25 serial AQE query stages whose scheduling /
+    // re-plan bubbles idle a wide cluster). Round 3 ran them back to back,
+    // so the dedup chain's fixed serial floor was fully exposed in the
+    // wall time; overlapping them as concurrent jobs in separate FAIR
+    // pools (round-3 verdict item 1) lets decode tasks fill the dedup
+    // stage-boundary bubbles — the floor is paid once, under the decode
+    // work, instead of being added to it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val audioF = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-audio")
+        Invariant
+          .check(ClipSynth.table(spark, n))
+          .filter("pcm_ok and transcript_ok")
+          .count()
+      }
+    })
+    try {
+      val clusters = FuzzyPipeline(
+        spark,
+        ClipSynth.table(spark, n, includeAudio = false),
+        "clip_id",
+        "transcript",
+        FuzzyConf()).clusters()
+      val rows = clusters.count()
+      (audioF.get(), rows, clusters)
+    } finally pool.shutdown()
   }
 
   /** Dup-pair recall vs the planted ground truth: fraction of planted pairs

@@ -142,21 +142,41 @@ final case class FuzzyPipeline(
   // ---- dedup pipeline (the scale generalization) -------------------------
 
   /** Materialize independent pipeline branches as CONCURRENT Spark jobs
-    * (threads only submit jobs; tasks share the executor cores under the
-    * FIFO scheduler). Each branch is a serial chain of AQE query stages
-    * that individually cannot fill a wide cluster — overlapping the chains
-    * is what keeps 4N cores busy; at N cores the scheduler simply
-    * interleaves them. Branch failures propagate.
+    * (threads only submit jobs; tasks share the executor cores). Each
+    * branch is a serial chain of AQE query stages that individually cannot
+    * fill a wide cluster — overlapping the chains is what keeps 4N cores
+    * busy; at N cores the scheduler simply interleaves them. Each branch
+    * runs in its OWN scheduler pool: under FIFO mode the pool property is
+    * inert, but a session running with spark.scheduler.mode=FAIR (the
+    * flagship bench does) then shares task slots fairly ACROSS branches
+    * instead of head-of-line-blocking on whichever branch submitted first —
+    * a wide stage in one branch can no longer starve the others' short
+    * stages, which is what keeps the critical-path branch moving.
+    * Branch failures propagate.
     */
   private def concurrently(branches: (() => DataFrame)*): Seq[DataFrame] = {
+    val sc = spark.sparkContext
     val pool = java.util.concurrent.Executors.newFixedThreadPool(branches.size)
     try {
-      val fs = branches.map(b => pool.submit(new java.util.concurrent.Callable[DataFrame] {
-        def call(): DataFrame = b()
-      }))
+      val fs = branches.zipWithIndex.map { case (b, i) =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = {
+            sc.setLocalProperty("spark.scheduler.pool", s"graft-branch-$i")
+            try b()
+            finally sc.setLocalProperty("spark.scheduler.pool", null)
+          }
+        })
+      }
       fs.map(_.get())
     } finally pool.shutdown()
   }
+
+  /** SERIALIZED storage for branch materializations — same GC argument as
+    * `ckpt`'s scaladoc: these blocks outlive the whole pipeline and old-gen
+    * object COUNT is what full collections trace.
+    */
+  private def matSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Candidate pairs from all generation passes (LSH + SimHash), distinct.
     * One FUSED bucket self-join over the combined band + chunk key space
@@ -164,16 +184,28 @@ final case class FuzzyPipeline(
     * 2 and their serial stage latency — not their work — capped scaling.
     * Memoized: the stage materializes once per pipeline instance
     * (localCheckpoint, unlike the cache manager, does not dedupe repeated
-    * identical plans).
+    * identical plans). A MANUAL double-checked memo, not a lazy val: the
+    * fuzzy edge branch initializes it from a `concurrently` thread while
+    * `edgesMemo`'s own lazy-val initializer holds the instance monitor —
+    * a sibling lazy val here would deadlock on that monitor, a private
+    * lock cannot.
     */
-  def candidatePairs(): DataFrame = candidatesMemo
-  private lazy val candidatesMemo: DataFrame = {
-    val idx = index // lazy-val init on THIS thread (see edgesMemo monitor note)
-    idx.sigs.count() // force ONCE so racing branches read blocks, not lineage
-    ckpt("candidates")(
-      Candidates.fusedPairs(
-        idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket))
+  def candidatePairs(): DataFrame = {
+    val got = candidatesCache
+    if (got != null) got
+    else candLock.synchronized {
+      if (candidatesCache == null) {
+        val idx = index // pre-initialized on the caller/main thread (see edgesMemo)
+        idx.sigs.count() // force ONCE so racing consumers read blocks, not lineage
+        candidatesCache = ckpt("candidates")(
+          Candidates.fusedPairs(
+            idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket))
+      }
+      candidatesCache
+    }
   }
+  private val candLock = new Object
+  @volatile private var candidatesCache: DataFrame = _
 
   /** Verified duplicate edges at 10^12 scale:
     * (a_id, b_id, kind in {exact, fuzzy}, score >= conf.minScore).
@@ -182,25 +214,33 @@ final case class FuzzyPipeline(
     */
   def dedupEdges(): DataFrame = edgesMemo
   private lazy val edgesMemo: DataFrame = {
-    // force the sibling lazy vals ON THIS THREAD before spawning branches:
+    // force the sibling lazy val ON THIS THREAD before spawning branches:
     // a Scala lazy val initializer holds the instance monitor, so a branch
-    // thread touching `candidatePairs()`/`index` while edgesMemo's own
+    // thread touching a still-uninitialized `index` while edgesMemo's own
     // initializer is running would deadlock on the same monitor
     val idx = index
-    val cands = candidatePairs()
     // force the multi-consumer parents ON THIS THREAD (round-2 ADVICE):
-    // items feeds both the fuzzy and substr branches — two threads
-    // first-touching a lazily-checkpointed table materialize it twice
-    // concurrently. (candidatePairs already forced sigs, whose build reads
-    // the materialized items, so this count is normally a block scan.)
+    // items feeds the fuzzy and substr branches, sigs the candidate build —
+    // two threads first-touching a lazily-checkpointed table would
+    // materialize it twice concurrently
     idx.items.count()
-    val Seq(exact, fuzzy, substr) = concurrently(
-      () => Candidates.exactEdges(idx.members).localCheckpoint(),
-      () => FindStage.verifyPairs(cands, idx, conf.minScore).localCheckpoint(),
-      () => Candidates.substringPairs(
-        idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)
-        .localCheckpoint())
-    ckpt("edges")(exact.unionByName(fuzzy).unionByName(substr))
+    idx.sigs.count()
+    // candidate generation runs INSIDE the fuzzy branch (round-3 verdict
+    // item 1: it used to run serially before the branches, adding its whole
+    // stage chain to the critical path while exact/substr cores sat idle)
+    val Seq(fuzzy, exact, substr) = concurrently(
+      () => matSer(FindStage.verifyPairs(candidatePairs(), idx, conf.minScore)),
+      () => matSer(Candidates.exactEdges(idx.members)),
+      () => matSer(Candidates.substringPairs(
+        idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)))
+    val union = exact.unionByName(fuzzy).unionByName(substr)
+    checkpointDir match {
+      case Some(_) => ckpt("edges")(union)
+      // the branches are already materialized blocks; re-checkpointing
+      // their union would copy every edge row a second time for a plan
+      // that is nothing but three block scans
+      case None => union
+    }
   }
 
   /** Verified duplicate edges with FULL reference fidelity — every item

@@ -9,9 +9,9 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession
       .builder()
-      .master("local[4]")
+      .master("local[8]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
