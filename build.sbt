@@ -38,4 +38,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // scaling mechanism at local[4N] vs local[N]. ParallelGC has no region
   // size cliff and wins for batch throughput here.
   "-XX:+UseParallelGC",
-)
+  // dev seam for JVM-flag A/Bs (e.g. SPARK_GC_EXTRA="-XX:NewRatio=1");
+  // empty in normal runs
+) ++ sys.env.get("SPARK_GC_EXTRA").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

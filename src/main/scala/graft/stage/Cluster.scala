@@ -85,7 +85,15 @@ object Cluster {
 
       // pointer jumping: component := label(component) — halves tree height
       // each round; eager checkpoint materializes the new generation and
-      // truncates its plan
+      // truncates its plan. Convergence detection rides ALONG the
+      // materializing job as an observed metric (CollectMetrics) instead
+      // of a separate count job over the blocks — one fewer job per
+      // iteration of the serial CC loop (round-3 verdict item 1: the
+      // per-stage scheduling floor of serial chains is the scaling
+      // bottleneck at bench size). No limit-1 early exit — a limit's task
+      // CANCELLATION floods the log with late-completion "non-existent
+      // accumulator" errors.
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val jumped = stepped
         .join(
           stepped.select(col("id").as("component"), col("component").as("parent_comp")),
@@ -95,12 +103,9 @@ object Cluster {
           col("id"),
           coalesce(col("parent_comp"), col("component")).as("component"),
           col("old_comp"))
+        .observe(obs, sum(when(col("component") =!= col("old_comp"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-
-      // full count over the just-materialized blocks (no join, no shuffle);
-      // no limit-1 early exit — a limit's task CANCELLATION floods the log
-      // with late-completion "non-existent accumulator" errors
-      val changed = jumped.filter(col("component") =!= col("old_comp")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       stepped.unpersist(false)
       freeCheckpoint(gen) // superseded generation — the round-1 leak
       converged = changed == 0
