@@ -192,12 +192,13 @@ object Bench {
     val nAudio = sys.env.getOrElse("SPARK_GRAFT_AUDIO_CLIPS", "2000").toLong
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // phase 0: warmup (untimed) — same job shape at 10% size (5% in round
-    // 2 left enough un-JIT'd code that the first timed N rep ran 2.5x its
-    // warm time)
+    // phase 0: warmup (untimed) — same job shape at 25% size (10% still
+    // left the first timed rep 2-3x its warm time across round-3/4 runs:
+    // full-size code paths like the salted-bucket regimes and spill-sized
+    // hash maps only JIT/size at larger n; warmup time is free)
     locally {
       val w = session(coresN, flagship = true)
-      flagship(w, math.max(nClips / 10, 1000))
+      flagship(w, math.max(nClips / 4, 1000))
       w.stop()
     }
 
