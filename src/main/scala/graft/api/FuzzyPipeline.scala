@@ -205,7 +205,9 @@ final case class FuzzyPipeline(
     }
   }
   private val candLock = new Object
-  @volatile private var candidatesCache: DataFrame = _
+  // private[api] so the resume spec can assert the fuzzy branch (and with
+  // it candidate generation) never ran on a fresh-checkpoint resume
+  @volatile private[api] var candidatesCache: DataFrame = _
 
   /** Verified duplicate edges at 10^12 scale:
     * (a_id, b_id, kind in {exact, fuzzy}, score >= conf.minScore).
@@ -214,34 +216,44 @@ final case class FuzzyPipeline(
     */
   def dedupEdges(): DataFrame = edgesMemo
   private lazy val edgesMemo: DataFrame = {
-    // force the sibling lazy val ON THIS THREAD before spawning branches:
-    // a Scala lazy val initializer holds the instance monitor, so a branch
-    // thread touching a still-uninitialized `index` while edgesMemo's own
-    // initializer is running would deadlock on the same monitor
-    val idx = index
-    // force the multi-consumer parent ON THIS THREAD (round-2 ADVICE):
-    // items feeds the fuzzy and substr branches — two threads
-    // first-touching a lazily-checkpointed table would materialize it
-    // twice concurrently. sigs has a single consumer (the fuzzy branch via
-    // candidatePairs, which forces it under its own lock), so it
-    // materializes inside that branch, overlapped with exact/substr,
-    // instead of serially blocking all three
-    idx.items.count()
-    // candidate generation runs INSIDE the fuzzy branch (round-3 verdict
-    // item 1: it used to run serially before the branches, adding its whole
-    // stage chain to the critical path while exact/substr cores sat idle)
-    val Seq(fuzzy, exact, substr) = concurrently(
-      () => matSer(FindStage.verifyPairs(candidatePairs(), idx, conf.minScore)),
-      () => matSer(Candidates.exactEdges(idx.members)),
-      () => matSer(Candidates.substringPairs(
-        idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)))
-    val union = exact.unionByName(fuzzy).unionByName(substr)
+    // ALL eager work lives inside this thunk: `ckpt` passes its compute
+    // by-name down to TableIO.checkpoint, which consults the sidecar
+    // BEFORE forcing it — so a checkpoint-dir resume re-reads the stored
+    // edges table without re-running the branches at all. Evaluating the
+    // branches before the ckpt call (rounds 1-3) recomputed candidate
+    // generation + verification on every resume.
+    def computeUnion(): DataFrame = {
+      // force the sibling lazy val ON THIS THREAD before spawning
+      // branches: a Scala lazy val initializer holds the instance
+      // monitor, so a branch thread touching a still-uninitialized
+      // `index` while edgesMemo's own initializer is running would
+      // deadlock on the same monitor
+      val idx = index
+      // force the multi-consumer parent ON THIS THREAD (round-2 ADVICE):
+      // items feeds the fuzzy and substr branches — two threads
+      // first-touching a lazily-checkpointed table would materialize it
+      // twice concurrently. sigs has a single consumer (the fuzzy branch
+      // via candidatePairs, which forces it under its own lock), so it
+      // materializes inside that branch, overlapped with exact/substr,
+      // instead of serially blocking all three
+      idx.items.count()
+      // candidate generation runs INSIDE the fuzzy branch (round-3
+      // verdict item 1: it used to run serially before the branches,
+      // adding its whole stage chain to the critical path while
+      // exact/substr cores sat idle)
+      val Seq(fuzzy, exact, substr) = concurrently(
+        () => matSer(FindStage.verifyPairs(candidatePairs(), idx, conf.minScore)),
+        () => matSer(Candidates.exactEdges(idx.members)),
+        () => matSer(Candidates.substringPairs(
+          idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)))
+      exact.unionByName(fuzzy).unionByName(substr)
+    }
     checkpointDir match {
-      case Some(_) => ckpt("edges")(union)
+      case Some(_) => ckpt("edges")(computeUnion())
       // the branches are already materialized blocks; re-checkpointing
       // their union would copy every edge row a second time for a plan
       // that is nothing but three block scans
-      case None => union
+      case None => computeUnion()
     }
   }
 
@@ -262,13 +274,15 @@ final case class FuzzyPipeline(
   /** (clip_id, component): every source row labeled with the min clip_id of
     * its duplicate cluster; singleton rows keep their own id.
     */
-  def clusters(): DataFrame = {
+  def clusters(): DataFrame = ckpt("clusters") {
+    // inside the by-name ckpt block: the CC loop runs eager Spark jobs per
+    // iteration, so on a checkpoint-dir resume the stored labels are
+    // re-read without touching the edge stages or re-iterating CC
     val edges = dedupEdges().select("a_id", "b_id")
     val vertices = index.members.select(col("clip_id").as("id"))
-    ckpt("clusters")(
-      Cluster
-        .connectedComponents(vertices, edges)
-        .select(col("id").as("clip_id"), col("component")))
+    Cluster
+      .connectedComponents(vertices, edges)
+      .select(col("id").as("clip_id"), col("component"))
   }
 
   /** [[clusters]] over the EXHAUSTIVE (full reference-fidelity) edge set —
@@ -276,12 +290,11 @@ final case class FuzzyPipeline(
     * results, so it is oracle-checkable end to end. Validation /
     * small-corpus mode; `clusters()` is the 10^12 path.
     */
-  def clustersExhaustive(): DataFrame = {
+  def clustersExhaustive(): DataFrame = ckpt("clusters_exhaustive") {
     val edges = dedupEdgesExhaustive().select("a_id", "b_id")
     val vertices = index.members.select(col("clip_id").as("id"))
-    ckpt("clusters_exhaustive")(
-      Cluster
-        .connectedComponents(vertices, edges)
-        .select(col("id").as("clip_id"), col("component")))
+    Cluster
+      .connectedComponents(vertices, edges)
+      .select(col("id").as("clip_id"), col("component"))
   }
 }

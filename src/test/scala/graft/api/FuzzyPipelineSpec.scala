@@ -274,12 +274,22 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     val r1 = p1.clusters().as[(String, String)].collect().sorted
     // resume: new pipeline object, same dir — must not recompute (mtimes fixed)
     val meta = java.nio.file.Paths.get(dir, "items", "_graft_meta.json")
+    val clustersMeta = java.nio.file.Paths.get(dir, "clusters", "_graft_meta.json")
     val mtime1 = java.nio.file.Files.getLastModifiedTime(meta)
+    val cmtime1 = java.nio.file.Files.getLastModifiedTime(clustersMeta)
     val p2 = FuzzyPipeline(spark, corpusDF(corpus), "clip_id", "transcript",
       FuzzyConf(), Some(dir))
     val r2 = p2.clusters().as[(String, String)].collect().sorted
     r2 shouldBe r1
     java.nio.file.Files.getLastModifiedTime(meta) shouldBe mtime1
+    // the clusters stage must resume from its sidecar too — its compute
+    // (edge branches + CC iterations) runs eager jobs, so it must be
+    // skipped by freshness BEFORE evaluation, not rewritten after
+    java.nio.file.Files.getLastModifiedTime(clustersMeta) shouldBe cmtime1
+    // and the skip must be compute-level, not merely write-level: a fresh
+    // resume of clusters() must never have initialized the candidate memo
+    // (the fuzzy branch's entry point)
+    p2.candidatesCache shouldBe null
     // config change invalidates
     val p3 = FuzzyPipeline(spark, corpusDF(corpus), "clip_id", "transcript",
       FuzzyConf(gramHi = 4), Some(dir))
