@@ -209,10 +209,12 @@ final case class FuzzyPipeline(
   // it candidate generation) never ran on a fresh-checkpoint resume
   @volatile private[api] var candidatesCache: DataFrame = _
 
-  /** Verified duplicate edges at 10^12 scale:
-    * (a_id, b_id, kind in {exact, fuzzy}, score >= conf.minScore).
-    * Candidate generation via LSH + SimHash, verification via the
-    * pair-restricted reference scoring kernel.
+  /** Verified duplicate edges at 10^12 scale: (a_id, b_id, kind, score)
+    * with kind in {exact, fuzzy, substr} — exact star edges from key
+    * groups (score 1.0), fuzzy edges from LSH + SimHash candidates
+    * verified by the pair-restricted reference scoring kernel (score >=
+    * conf.minScore), and substring-containment edges (score = length
+    * ratio >= conf.substringMinRatio).
     */
   def dedupEdges(): DataFrame = edgesMemo
   private lazy val edgesMemo: DataFrame = {
