@@ -48,10 +48,16 @@ object Cluster {
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 25): (DataFrame, Int) = {
+    // hash-partition the STATIC edge table by the join key once, before
+    // its checkpoint: Dataset.localCheckpoint preserves outputPartitioning
+    // in the LogicalRDD, so every iteration's neighbor join reuses it and
+    // only the (small) per-iteration label table is exchanged — one fewer
+    // shuffle stage per iteration of the serial CC loop
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
 
     var labels = sym
