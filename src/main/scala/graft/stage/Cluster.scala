@@ -67,6 +67,20 @@ object Cluster {
       .localCheckpoint()
     var gen: DataFrame = labels // current generation's RAW checkpointed DF
 
+    // label tables stay endpoint-sized for the whole loop; when that is
+    // broadcastable, hint BOTH per-iteration joins so neither shuffles —
+    // the per-iteration label/stepped plans are lazy (persist) or freshly
+    // derived, so the planner has no stats of its own to decide with. The
+    // stream sides (sym, stepped) then never exchange: the serial CC
+    // loop's stage count per iteration drops from ~3 exchanges to 1.
+    // Beyond the gate (10^12-scale graphs) everything degrades to the
+    // shuffle joins, with sym's preserved hash partitioning doing the
+    // co-location work. count() here is a block scan of the
+    // just-materialized eager checkpoint, not a recompute.
+    val labelsBroadcastable = labels.count() <= 2000000L
+    def buildSide(df: DataFrame): DataFrame =
+      if (labelsBroadcastable) df.hint("broadcast") else df
+
     var iter = 0
     var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
@@ -76,7 +90,7 @@ object Cluster {
       // old_comp — only self rows carry it, max() picks it out — so
       // convergence detection needs no extra join either.
       val nbr = sym
-        .join(labels.select(col("id").as("src"), col("component")), Seq("src"))
+        .join(buildSide(labels.select(col("id").as("src"), col("component"))), Seq("src"))
         .select(col("dst").as("id"), col("component"),
           lit(null).cast(labels.schema("component").dataType).as("old_comp"))
       val stepped = nbr
@@ -100,9 +114,11 @@ object Cluster {
       // CANCELLATION floods the log with late-completion "non-existent
       // accumulator" errors.
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      // the broadcast build side re-evaluates the stepped subtree, which
+      // the persist above absorbs (first evaluation fills the cache)
       val jumped = stepped
         .join(
-          stepped.select(col("id").as("component"), col("component").as("parent_comp")),
+          buildSide(stepped.select(col("id").as("component"), col("component").as("parent_comp"))),
           Seq("component"),
           "left")
         .select(
