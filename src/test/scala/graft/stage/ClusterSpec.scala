@@ -50,4 +50,41 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     while (stored() > storedBefore + 2 && waited < 20) { Thread.sleep(250); waited += 1 }
     stored() should be <= (storedBefore + 2)
   }
+
+  test("under the broadcast gate the per-iteration label joins are broadcast, not shuffled") {
+    // capture every plan executed DURING the CC call (the loop's
+    // checkpoint jobs carry the two per-iteration joins); the final
+    // singleton join runs lazily after, so it is out of scope here
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    var labelsOut: org.apache.spark.sql.DataFrame = null
+    spark.listenerManager.register(listener)
+    try {
+      // two components with distinct shapes so the loop actually iterates
+      val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("a_id", "b_id")
+      val vertices = Seq("a", "b", "c", "d", "x", "y", "lone").toDF("id")
+      val (labels, iters) = Cluster.connectedComponentsWithStats(vertices, edges)
+      iters should be > 0
+      labelsOut = labels
+      // the listener bus is async — wait until the loop's join plans landed
+      var waited = 0
+      def joined() = { val ps = plans.toArray(Array.empty[String]); ps.filter(_.contains("Join")) }
+      while (!joined().exists(_.contains("BroadcastHashJoin")) && waited < 40) { Thread.sleep(250); waited += 1 }
+      val joinPlans = joined()
+      withClue(s"captured ${plans.size} plans, ${joinPlans.length} with joins:\n${joinPlans.mkString("\n---\n")}\n") {
+        joinPlans.exists(_.contains("BroadcastHashJoin")) shouldBe true
+        joinPlans.foreach { p =>
+          p should not include "SortMergeJoin"
+          p should not include "ShuffledHashJoin"
+        }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    // materialized outside the capture window: the final singleton join is
+    // not part of the loop and may legitimately shuffle
+    labelsOut.count() shouldBe 7L
+  }
 }
