@@ -77,12 +77,13 @@ object Cluster {
     // shuffle joins, with sym's preserved hash partitioning doing the
     // co-location work. count() here is a block scan of the
     // just-materialized eager checkpoint, not a recompute.
-    val labelsBroadcastable = labels.count() <= 2000000L
+    val nEndpoints = labels.count()
+    val labelsBroadcastable = nEndpoints <= 2000000L
     def buildSide(df: DataFrame): DataFrame =
       if (labelsBroadcastable) df.hint("broadcast") else df
 
     var iter = 0
-    var converged = labels.isEmpty
+    var converged = nEndpoints == 0L
     while (!converged && iter < maxIter) {
       // min(self, neighbors) in ONE shuffle: the neighbor-label rows and
       // the self rows union into a single groupBy (round 2 ran a groupBy
