@@ -47,7 +47,18 @@ object Cluster {
   def connectedComponentsWithStats(
       vertices: DataFrame,
       edges: DataFrame,
-      maxIter: Int = 25): (DataFrame, Int) = {
+      maxIter: Int = 25): (DataFrame, Int) =
+    connectedComponentsWithStats(vertices, edges, maxIter, maxBroadcastEndpoints = 2000000L)
+
+  /** Test seam: `maxBroadcastEndpoints` gates the per-iteration broadcast
+    * label joins — ClusterSpec drives it to 0 to pin the shuffle-join
+    * regime that production only enters beyond 2M edge endpoints.
+    */
+  private[graft] def connectedComponentsWithStats(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int,
+      maxBroadcastEndpoints: Long): (DataFrame, Int) = {
     // hash-partition the STATIC edge table by the join key once, before
     // its checkpoint: Dataset.localCheckpoint preserves outputPartitioning
     // in the LogicalRDD, so every iteration's neighbor join reuses it and
@@ -78,7 +89,7 @@ object Cluster {
     // co-location work. count() here is a block scan of the
     // just-materialized eager checkpoint, not a recompute.
     val nEndpoints = labels.count()
-    val labelsBroadcastable = nEndpoints <= 2000000L
+    val labelsBroadcastable = nEndpoints <= maxBroadcastEndpoints
     def buildSide(df: DataFrame): DataFrame =
       if (labelsBroadcastable) df.hint("broadcast") else df
 

@@ -87,4 +87,20 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     // not part of the loop and may legitimately shuffle
     labelsOut.count() shouldBe 7L
   }
+
+  test("beyond the broadcast gate the shuffle-join regime still converges correctly") {
+    // gate forced to 0: the exact production code path a >2M-endpoint graph
+    // takes, exercised on a small fixture (chain + triangle + singleton)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("p", "q"), ("q", "r"), ("r", "p"))
+      .toDF("a_id", "b_id")
+    val vertices = Seq("a", "b", "c", "d", "p", "q", "r", "lone").toDF("id")
+    val (labels, iters) =
+      Cluster.connectedComponentsWithStats(vertices, edges, maxIter = 25, maxBroadcastEndpoints = 0L)
+    val byId = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    byId shouldBe Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "p" -> "p", "q" -> "p", "r" -> "p",
+      "lone" -> "lone")
+    iters should be > 0
+  }
 }
