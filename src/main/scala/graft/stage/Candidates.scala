@@ -175,15 +175,20 @@ object Candidates {
     */
   private val bucketDirBroadcastLimit = 4000000L
 
-  /** Exact substring-containment pairs — the scoped stand-in for the north
-    * rule's suffix-array pass (SURVEY §7.4: "per-partition suffix grouping
-    * by fixed-length prefix" — documented approximation). A key `a` is a
+  /** Exact substring-containment pairs — the distributed realization of
+    * the north rule's suffix-array pass (SURVEY §7.4). A key `a` is a
     * substring of key `b` iff some suffix of `b` starts with `a`; so match
     * the length-L prefix of every suffix of b (= every L-gram of b)
-    * against the length-L prefix of a, then verify real containment. Keys
-    * shorter than L fall through to the gram/LSH passes (they are cheap
-    * there precisely because they are short). Hot prefixes are capped like
-    * LSH buckets.
+    * against the length-L prefix of a, then verify real containment. Hot
+    * prefixes are capped like LSH buckets.
+    *
+    * Contained keys SHORTER than L can't carry an L-char prefix, but
+    * minRatio bounds their containers to < L/minRatio chars — both sides
+    * of that regime are short strings, so a dedicated closure pass
+    * explodes every sub-L window of the (short) containers — bounded at
+    * ~L²/minRatio window hashes per such row — and joins them against the
+    * short contained keys' whole-key hashes. Together the two regimes make
+    * the pass exact at every contained length.
     *
     * Two physical paths, picked by contained-side size:
     *  - BROADCAST (<= substringBroadcastLimit keys): the distinct
@@ -250,7 +255,7 @@ object Candidates {
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    candidatePairs
+    val longPairs = candidatePairs
       .join(longK.select(col("item_id").as("a_id"), col("key").as("a_key"), col("klen").as("a_len")), Seq("a_id"))
       .join(longK.select(col("item_id").as("b_id"), col("key").as("b_key"), col("klen").as("b_len")), Seq("b_id"))
       .filter(col("a_len") < col("b_len") && col("b_key").contains(col("a_key")))
@@ -258,6 +263,41 @@ object Candidates {
         (col("a_len").cast("double") / col("b_len")).as("score"))
       .filter(col("score") >= minRatio)
       .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
+
+    // SHORT-KEY closure regime: contained klen in [1, L); their containers
+    // are bounded to (klen/minRatio) < L/minRatio chars, so exploding all
+    // strictly-shorter-than-L windows of those short containers is a
+    // constant per-row fanout (<= ~L^2/minRatio hashes on rows of <= 30ish
+    // chars) — no driver state, shuffle-only, disjoint from the long
+    // regime (its pairs all have a_len >= L). Hash collisions only ADD
+    // candidates; contains() verification rejects them.
+    val maxShortContainerLen = ((prefixLen - 1) / minRatio).toInt
+    val shortContained = keyed
+      .filter(col("klen") >= 1 && col("klen") < prefixLen)
+      .select(col("item_id").as("a_id"), xxhash64(col("key")).as("subh"),
+        col("key").as("a_key"), col("klen").as("a_len"))
+    val shortWindowed = keyed
+      .filter(col("klen") >= 2 && col("klen") <= maxShortContainerLen)
+      .select(col("item_id").as("b_id"), col("key").as("b_key"), col("klen").as("b_len"),
+        explode(shortWindowHashes(prefixLen)(col("key"))).as("subh"))
+    // same hot-bucket fanout cap as the long regime, per substring hash
+    val okSub = shortWindowed
+      .groupBy("subh")
+      .agg(approx_count_distinct(col("b_id")).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("subh")
+    val shortPairs = shortWindowed
+      .join(okSub, Seq("subh"))
+      .join(shortContained, Seq("subh"))
+      .filter(col("a_id") =!= col("b_id") &&
+        col("a_len") < col("b_len") && col("b_key").contains(col("a_key")))
+      .select(col("a_id"), col("b_id"),
+        (col("a_len").cast("double") / col("b_len")).as("score"))
+      .filter(col("score") >= minRatio)
+      .distinct()
+      .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
+
+    longPairs.unionByName(shortPairs)
   }
 
   /** Hash of the length-L window at char offset i, value-identical to
@@ -292,6 +332,34 @@ object Candidates {
       var i = 0
       while (i < n) { out(i) = windowHash(u, ascii, i, prefixLen); i += 1 }
       out
+    }
+
+  /** DISTINCT hashes of every window of length 1..min(L-1, numChars-1) of
+    * a (short) key — the short-key closure regime's container side. Only
+    * called on keys bounded to < L/minRatio chars, so the per-row fanout
+    * is a small constant; strictly-shorter windows only (equal-length
+    * containment = key equality = the exact pass's territory).
+    */
+  private[stage] def shortWindowHashes(prefixLen: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (key: String) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+      val nc = u.numChars()
+      val ascii = u.numBytes == u.numChars()
+      val seen = new java.util.HashSet[Long]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var len = 1
+      val maxLen = math.min(prefixLen - 1, nc - 1)
+      while (len <= maxLen) {
+        var i = 0
+        val n = nc - len + 1
+        while (i < n) {
+          val h = windowHash(u, ascii, i, len)
+          if (seen.add(h)) out += h
+          i += 1
+        }
+        len += 1
+      }
+      out.toArray
     }
 
   /** Window hashes of a key that hit the broadcast sorted contained-prefix

@@ -88,6 +88,61 @@ class CandidatesSpec extends AnyFunSuite with Matchers {
     viaUdf shouldBe viaCol
   }
 
+  test("substring short-key regime: contained keys below prefixLen are found exactly") {
+    import org.apache.spark.sql.functions.col
+    val items = Seq(
+      ("s1", "hello world"), // 11 chars, contained in s2 (ratio 11/18)
+      ("s2", "ah hello world yes"), // 18-char container (>= prefixLen: both regimes' container side)
+      ("s3", "cat"), // contained in s4 at ratio 3/16 < 0.5 -> excluded
+      ("s4", "the cat sat here"),
+      ("s5", "a"), // 1-char contained in s6 at exactly minRatio
+      ("s6", "ab"),
+      ("s7", "exactly15charss"), // 15 chars: last short-regime length
+      ("s8", "exactly15charss butmore") // 23-char container (ratio 15/23)
+    ).toDF("item_id", "key")
+    val got = Candidates.substringPairs(items, prefixLen = 16, minRatio = 0.5, maxBucket = 100000)
+      .select("a_id", "b_id").as[(String, String)].collect().toSet
+    got should contain(("s1", "s2"))
+    got should contain(("s5", "s6"))
+    got should contain(("s7", "s8"))
+    got.map(_._1) should not contain "s3"
+  }
+
+  test("substringPairs equals the brute-force containment oracle across both length regimes") {
+    import org.apache.spark.sql.functions.col
+    // tiny alphabet + seeded lengths 1..30 straddling prefixLen=16: dense
+    // containment relations in BOTH the long (windowed-prefix) and short
+    // (sub-L window closure) regimes
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh "
+    def randStr(len: Int) = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // bases of length 1..24 plus derived containers (base wrapped in 0..len+5
+    // extra chars, straddling the minRatio boundary) — genuine containment in
+    // BOTH regimes; short alphabet also yields coincidental containments
+    val corpus = (0 until 60).flatMap { i =>
+      val len = 1 + rnd.nextInt(24)
+      val base = randStr(len)
+      val extra = rnd.nextInt(len + 6)
+      val front = rnd.nextInt(extra + 1)
+      val container = randStr(front) + base + randStr(extra - front)
+      Seq((f"k$i%03d", base), (f"c$i%03d", container))
+    }
+    val minRatio = 0.5
+    val oracle = (for {
+      (aId, aKey) <- corpus
+      (bId, bKey) <- corpus
+      if aKey.length < bKey.length && bKey.contains(aKey) &&
+        aKey.length.toDouble / bKey.length >= minRatio
+    } yield (aId, bId)).toSet
+    oracle should not be empty // fixture sanity: both regimes exercised
+    oracle.exists { case (a, _) => corpus.toMap.apply(a).length < 16 } shouldBe true
+    oracle.exists { case (a, _) => corpus.toMap.apply(a).length >= 16 } shouldBe true
+    val got = Candidates
+      .substringPairs(corpus.toDF("item_id", "key"), prefixLen = 16, minRatio = minRatio, maxBucket = 100000)
+      .select("a_id", "b_id").as[(String, String)].collect().toSet
+    got shouldBe oracle
+  }
+
   test("simhashPairs with salting still finds hamming<=3 neighbors in a hot chunk bucket") {
     // 120 fingerprints sharing chunk 0 (low 15 bits identical) -> one hot
     // bucket above cap=50; planted neighbor pair differs in 2 high bits
