@@ -98,13 +98,16 @@ class CandidatesSpec extends AnyFunSuite with Matchers {
       ("s5", "a"), // 1-char contained in s6 at exactly minRatio
       ("s6", "ab"),
       ("s7", "exactly15charss"), // 15 chars: last short-regime length
-      ("s8", "exactly15charss butmore") // 23-char container (ratio 15/23)
+      ("s8", "exactly15charss butmore"), // 23-char container (ratio 15/23)
+      ("s9", "héllo wörld"), // multibyte contained (11 chars): whole-key
+      ("s10", "aa héllo wörld bb") // xxhash64 vs windowHash UDF parity
     ).toDF("item_id", "key")
     val got = Candidates.substringPairs(items, prefixLen = 16, minRatio = 0.5, maxBucket = 100000)
       .select("a_id", "b_id").as[(String, String)].collect().toSet
     got should contain(("s1", "s2"))
     got should contain(("s5", "s6"))
     got should contain(("s7", "s8"))
+    got should contain(("s9", "s10"))
     got.map(_._1) should not contain "s3"
   }
 
