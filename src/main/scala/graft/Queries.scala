@@ -289,6 +289,41 @@ object Queries {
       """select min(doc_id) as item_id, count(*)::BIGINT as n_members
         |from documents group by lower(text) order by item_id""".stripMargin),
 
+    // Exact substring-containment pass (north rule's suffix-array pass),
+    // both length regimes: the raw corpus carries genuine long-regime
+    // containments (planted near-dup docs); deterministic 9/14-char prefix
+    // truncations of the first docs plant short-regime pairs (9 < L=16
+    // contained in 14 <= L/minRatio at ratio 9/14 >= 0.5). Score is an
+    // integer-length ratio divided then rounded — bit-identical on both
+    // engines (parity rules above).
+    ("q_substr_pairs",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id").cast("string").as("item_id"), lower(col("text")).as("key"))
+        def pfx(n: Int) = docs(s, dir)
+          .filter(col("doc_id") < 40)
+          .select(concat(lit(s"p${n}_"), col("doc_id").cast("string")).as("item_id"),
+            substring(lower(col("text")), 1, n).as("key"))
+        val items = base.unionByName(pfx(14)).unionByName(pfx(9))
+        graft.stage.Candidates
+          .substringPairs(items, prefixLen = 16, minRatio = 0.5, maxBucket = 100000)
+          .select(col("a_id"), col("b_id"), col("kind"), round(col("score"), 6).as("score"))
+          .orderBy("a_id", "b_id")
+      },
+      """with items as (
+        |  select doc_id::VARCHAR as item_id, lower(text) as key from documents
+        |  union all
+        |  select 'p14_'||doc_id::VARCHAR, substr(lower(text),1,14) from documents where doc_id < 40
+        |  union all
+        |  select 'p9_'||doc_id::VARCHAR, substr(lower(text),1,9) from documents where doc_id < 40
+        |)
+        |select a.item_id as a_id, b.item_id as b_id, 'substr' as kind,
+        |       round(length(a.key)*1.0/length(b.key), 6) as score
+        |from items a join items b
+        |  on length(a.key) < length(b.key) and position(a.key in b.key) > 0
+        |where length(a.key)*1.0/length(b.key) >= 0.5
+        |order by a_id, b_id""".stripMargin),
+
     // S15-S17 — inspection
     ("q_set_size",
       (s, dir) =>
