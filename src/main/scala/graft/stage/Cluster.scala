@@ -36,6 +36,9 @@ object Cluster {
     * never change label, so the (typically corpus-sized) singleton set
     * joins back once at the end instead of riding through every
     * iteration's shuffles — at bench scale endpoints are ~10% of vertices.
+    * Isolated PAIRS (both endpoints degree 1 — the dominant duplicate
+    * shape in web dedup) are contracted to min(src,dst) before the loop,
+    * so only the residual multi-edge subgraph iterates at all.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame =
     connectedComponentsWithStats(vertices, edges, maxIter)._1
@@ -71,37 +74,65 @@ object Cluster {
       .repartition(col("src"))
       .localCheckpoint()
 
-    var labels = sym
+    // degree per endpoint groups on sym's preserved src partitioning — no
+    // exchange; its count is the distinct-endpoint count, which decides
+    // the broadcast gate below
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nEndpoints = deg.count()
+
+    // label tables stay endpoint-sized for the whole loop; when that is
+    // broadcastable, hint BOTH per-iteration joins so neither shuffles —
+    // the per-iteration label/stepped plans are lazy (persist) or freshly
+    // derived, so the planner has no stats of its own to decide with. The
+    // stream sides (residual, stepped) then never exchange: the serial CC
+    // loop's stage count per iteration drops from ~3 exchanges to 1.
+    // Beyond the gate (10^12-scale graphs) everything degrades to the
+    // shuffle joins, with the edge table's hash partitioning doing the
+    // co-location work.
+    val labelsBroadcastable = nEndpoints <= maxBroadcastEndpoints
+    def buildSide(df: DataFrame): DataFrame =
+      if (labelsBroadcastable) df.hint("broadcast") else df
+
+    // PAIR CONTRACTION: a component that is exactly one edge has both
+    // endpoints at degree 1 and resolves to min(src, dst) with no
+    // iteration. In web-scale dedup most duplicate clusters ARE isolated
+    // pairs, so peeling them first shrinks the loop's input to the
+    // residual multi-edge subgraph — at bench shape that empties the loop
+    // almost entirely. Both directions of an isolated edge survive the
+    // filter, so each endpoint labels itself in one pass. Under the gate
+    // the degree joins broadcast and preserve sym's src partitioning;
+    // beyond it the residual is re-hashed on src once, outside the loop.
+    val tagged = sym
+      .join(buildSide(deg.select(col("src"), col("deg").as("sdeg"))), Seq("src"))
+      .join(buildSide(deg.select(col("src").as("dst"), col("deg").as("ddeg"))), Seq("dst"))
+    val isolatedPair = col("sdeg") === 1 && col("ddeg") === 1
+    val pairLabels = tagged
+      .filter(isolatedPair)
+      .select(col("src").as("id"), least(col("src"), col("dst")).as("component"))
+      .localCheckpoint()
+    val residualRaw = tagged.filter(!isolatedPair).select("src", "dst")
+    val residual =
+      (if (labelsBroadcastable) residualRaw else residualRaw.repartition(col("src")))
+        .localCheckpoint()
+    freeCheckpoint(sym) // superseded by pairLabels + residual
+
+    var labels = residual
       .select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
     var gen: DataFrame = labels // current generation's RAW checkpointed DF
 
-    // label tables stay endpoint-sized for the whole loop; when that is
-    // broadcastable, hint BOTH per-iteration joins so neither shuffles —
-    // the per-iteration label/stepped plans are lazy (persist) or freshly
-    // derived, so the planner has no stats of its own to decide with. The
-    // stream sides (sym, stepped) then never exchange: the serial CC
-    // loop's stage count per iteration drops from ~3 exchanges to 1.
-    // Beyond the gate (10^12-scale graphs) everything degrades to the
-    // shuffle joins, with sym's preserved hash partitioning doing the
-    // co-location work. count() here is a block scan of the
-    // just-materialized eager checkpoint, not a recompute.
-    val nEndpoints = labels.count()
-    val labelsBroadcastable = nEndpoints <= maxBroadcastEndpoints
-    def buildSide(df: DataFrame): DataFrame =
-      if (labelsBroadcastable) df.hint("broadcast") else df
-
     var iter = 0
-    var converged = nEndpoints == 0L
+    // block scan of the just-materialized eager checkpoint, not a recompute
+    var converged = labels.count() == 0L
     while (!converged && iter < maxIter) {
       // min(self, neighbors) in ONE shuffle: the neighbor-label rows and
       // the self rows union into a single groupBy (round 2 ran a groupBy
       // plus a separate labels join). The previous label rides along as
       // old_comp — only self rows carry it, max() picks it out — so
       // convergence detection needs no extra join either.
-      val nbr = sym
+      val nbr = residual
         .join(buildSide(labels.select(col("id").as("src"), col("component"))), Seq("src"))
         .select(col("dst").as("id"), col("component"),
           lit(null).cast(labels.schema("component").dataType).as("old_comp"))
@@ -147,13 +178,14 @@ object Cluster {
       labels = jumped.select("id", "component")
       iter += 1
     }
-    // singletons re-enter here; edge endpoints take their loop label
+    // singletons re-enter here; residual endpoints take their loop label,
+    // isolated-pair endpoints the contracted one (the sets are disjoint)
     val out = vertices
       .select(col("id"))
       .distinct()
-      .join(labels, Seq("id"), "left")
+      .join(labels.unionByName(pairLabels), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    freeCheckpoint(sym)
+    freeCheckpoint(residual)
     (out, iter)
   }
 }
