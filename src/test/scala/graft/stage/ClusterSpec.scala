@@ -88,6 +88,43 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     labelsOut.count() shouldBe 7L
   }
 
+  test("isolated pairs are contracted before the loop: a pairs-only graph runs zero iterations") {
+    // every component is a single edge -> the contraction labels all of
+    // them and the residual subgraph is empty, so the loop never starts
+    val edges = Seq(("b", "a"), ("c", "d"), ("f", "e")).toDF("a_id", "b_id")
+    val vertices = Seq("a", "b", "c", "d", "e", "f", "lone").toDF("id")
+    val (labels, iters) = Cluster.connectedComponentsWithStats(vertices, edges)
+    iters shouldBe 0
+    val byId = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    byId shouldBe Map(
+      "a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c",
+      "e" -> "e", "f" -> "e", "lone" -> "lone")
+  }
+
+  test("mixed graphs split correctly between the pair contraction and the residual loop") {
+    // isolated pairs + a path (whose degree-1 tips must NOT contract: the
+    // other endpoint has degree 2) + a triangle + a singleton, in both the
+    // broadcast and the forced-shuffle regime
+    val edges = Seq(
+      ("y", "x"),                            // isolated pair
+      ("a", "b"), ("b", "c"), ("c", "d"),    // path: tips a,d are degree 1
+      ("p", "q"), ("q", "r"), ("r", "p")     // triangle
+    ).toDF("a_id", "b_id")
+    val vertices = Seq("a", "b", "c", "d", "p", "q", "r", "x", "y", "lone").toDF("id")
+    val expect = Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "p" -> "p", "q" -> "p", "r" -> "p",
+      "x" -> "x", "y" -> "x", "lone" -> "lone")
+    for (gate <- Seq(2000000L, 0L)) {
+      val (labels, iters) =
+        Cluster.connectedComponentsWithStats(vertices, edges, maxIter = 25, maxBroadcastEndpoints = gate)
+      withClue(s"gate=$gate: ") {
+        labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap shouldBe expect
+        iters should be > 0 // the path/triangle residual still iterates
+      }
+    }
+  }
+
   test("beyond the broadcast gate the shuffle-join regime still converges correctly") {
     // gate forced to 0: the exact production code path a >2M-endpoint graph
     // takes, exercised on a small fixture (chain + triangle + singleton)
