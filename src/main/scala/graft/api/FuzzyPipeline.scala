@@ -193,15 +193,24 @@ final case class FuzzyPipeline(
   def candidatePairs(): DataFrame = {
     val got = candidatesCache
     if (got != null) got
-    else candLock.synchronized {
-      if (candidatesCache == null) {
-        val idx = index // pre-initialized on the caller/main thread (see edgesMemo)
-        idx.sigs.count() // force ONCE so racing consumers read blocks, not lineage
-        candidatesCache = ckpt("candidates")(
-          Candidates.fusedPairs(
-            idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket))
+    else {
+      // force `index` BEFORE taking candLock: while edgesMemo's lazy-val
+      // initializer runs it holds the instance monitor (which `index`'s
+      // initializer also needs), so an external caller arriving in that
+      // window must wait on the monitor holding NO other lock — waiting
+      // inside candLock would close a cycle with the fuzzy branch thread
+      // (branch blocked on candLock -> edgesMemo blocked on the branch ->
+      // caller blocked on the monitor while holding candLock)
+      val idx = index
+      candLock.synchronized {
+        if (candidatesCache == null) {
+          idx.sigs.count() // force ONCE so racing consumers read blocks, not lineage
+          candidatesCache = ckpt("candidates")(
+            Candidates.fusedPairs(
+              idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket))
+        }
+        candidatesCache
       }
-      candidatesCache
     }
   }
   private val candLock = new Object
@@ -243,21 +252,38 @@ final case class FuzzyPipeline(
       // verdict item 1: it used to run serially before the branches,
       // adding its whole stage chain to the critical path while
       // exact/substr cores sat idle)
-      val Seq(fuzzy, exact, substr) = concurrently(
+      val branches = concurrently(
         () => matSer(FindStage.verifyPairs(candidatePairs(), idx, conf.minScore)),
         () => matSer(Candidates.exactEdges(idx.members)),
         () => matSer(Candidates.substringPairs(
           idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)))
+      val Seq(fuzzy, exact, substr) = branches
+      lastEdgeBranches = branches
       exact.unionByName(fuzzy).unionByName(substr)
     }
     checkpointDir match {
-      case Some(_) => ckpt("edges")(computeUnion())
+      case Some(_) =>
+        // the parquet write inside ckpt is the branch blocks' LAST
+        // consumer (every downstream read goes through the written
+        // table), so free them once it returns — otherwise the full edge
+        // set stays pinned in block storage for the session. On a sidecar
+        // resume the compute thunk never runs and there is nothing to
+        // free.
+        val out = ckpt("edges")(computeUnion())
+        lastEdgeBranches.foreach(b =>
+          org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(b)
+            .foreach(_.unpersist(blocking = false)))
+        lastEdgeBranches = Nil
+        out
       // the branches are already materialized blocks; re-checkpointing
       // their union would copy every edge row a second time for a plan
       // that is nothing but three block scans
       case None => computeUnion()
     }
   }
+  // set only while edgesMemo initializes (single-threaded: the lazy-val
+  // initializer), read right after — not part of the public state
+  private var lastEdgeBranches: Seq[DataFrame] = Nil
 
   /** Verified duplicate edges with FULL reference fidelity — every item
     * probes the whole index through the inverted-index join exactly as the

@@ -84,25 +84,45 @@ object Ann {
     * bit-for-bit.
     */
   private[embed] def lshBucketBroadcast(vq: Column, dim: Int, planes: Int, band: Int): Column = {
-    val table: Array[Array[Long]] =
-      Array.tabulate(planes, dim)((p, d) => planeEntry(band * planes + p, d))
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(table)
-    val bucketUdf = udf { (v: Seq[Long]) =>
-      val pt = bc.value
-      var bits = 0L
-      var p = 0
-      while (p < pt.length) {
-        val row = pt(p)
-        var s = 0L
-        var d = 0
-        while (d < row.length) { s += v(d) * row(d); d += 1 }
-        if (s >= 0) bits |= (1L << p)
-        p += 1
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    // one broadcast per DISTINCT plane table per context — bucketedTopK
+    // calls this once per band per side, and a fresh broadcast per call
+    // would accumulate identical multi-KB tables on driver + executors for
+    // the application lifetime. Keyed by the context's startTime so a
+    // restarted context (tests) never reuses a dead context's broadcast;
+    // the map stays bounded by the distinct (context, band, planes, dim)
+    // configurations actually used.
+    val bc = planeBcCache.computeIfAbsent(
+      (sc.startTime, band, planes, dim),
+      _ => sc.broadcast(Array.tabulate(planes, dim)((p, d) => planeEntry(band * planes + p, d))))
+    val bucketUdf = udf { (v: Seq[java.lang.Long]) =>
+      // mirror the literal form on dirty rows: there, a null vector, a
+      // null element, or any length mismatch null-propagates every
+      // projection (zip_with pads with null) and when(null >= 0) takes
+      // the otherwise-0 branch — bucket 0, not a task failure
+      if (v == null || v.length != dim || v.contains(null)) 0L
+      else {
+        val pt = bc.value
+        var bits = 0L
+        var p = 0
+        while (p < pt.length) {
+          val row = pt(p)
+          var s = 0L
+          var d = 0
+          while (d < row.length) { s += v(d) * row(d); d += 1 }
+          if (s >= 0) bits |= (1L << p)
+          p += 1
+        }
+        bits
       }
-      bits
     }
     bucketUdf(vq)
   }
+
+  private val planeBcCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Long, Int, Int, Int),
+      org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]]
 
   /** Brute-force cosine top-k: probes (query_id, qv) x corpus (vec_id, v),
     * both quantized. Returns (query_id, item_id, cosine) with rank <= k.

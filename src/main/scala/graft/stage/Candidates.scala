@@ -280,6 +280,10 @@ object Candidates {
       .filter(col("klen") >= 2 && col("klen") <= maxShortContainerLen)
       .select(col("item_id").as("b_id"), col("key").as("b_key"), col("klen").as("b_len"),
         explode(shortWindowHashes(prefixLen)(col("key"))).as("subh"))
+      // same two-consumers-on-different-keys shape as the long regime's
+      // `containers`: the okSub aggregation and the candidate join would
+      // otherwise each re-run the O(L^2/minRatio)-per-row window explode
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // same hot-bucket fanout cap as the long regime, per substring hash
     val okSub = shortWindowed
       .groupBy("subh")

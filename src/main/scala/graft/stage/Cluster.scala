@@ -76,8 +76,10 @@ object Cluster {
 
     // degree per endpoint groups on sym's preserved src partitioning — no
     // exchange; its count is the distinct-endpoint count, which decides
-    // the broadcast gate below
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the broadcast gate below. Checkpointed: it feeds BOTH build sides of
+    // the tagging join below, and without blocks each consumer would
+    // re-aggregate the full edge table (the count then reads blocks too)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val nEndpoints = deg.count()
 
     // label tables stay endpoint-sized for the whole loop; when that is
@@ -102,9 +104,17 @@ object Cluster {
     // filter, so each endpoint labels itself in one pass. Under the gate
     // the degree joins broadcast and preserve sym's src partitioning;
     // beyond it the residual is re-hashed on src once, outside the loop.
+    // the degree-tagging join runs ONCE (checkpointed): pairLabels and
+    // residual below are both block-scan filters of it — deriving each
+    // from a lazy `tagged` would re-run the full sym-deg-deg join (and
+    // rebuild both broadcast sides) per checkpoint job. Under the gate the
+    // broadcast joins preserve sym's src hash partitioning through every
+    // checkpoint, so the loop's neighbor join needs no new exchange.
     val tagged = sym
       .join(buildSide(deg.select(col("src"), col("deg").as("sdeg"))), Seq("src"))
       .join(buildSide(deg.select(col("src").as("dst"), col("deg").as("ddeg"))), Seq("dst"))
+      .localCheckpoint()
+    freeCheckpoint(deg) // both consumers are inside tagged's blocks now
     val isolatedPair = col("sdeg") === 1 && col("ddeg") === 1
     val pairLabels = tagged
       .filter(isolatedPair)
@@ -114,7 +124,8 @@ object Cluster {
     val residual =
       (if (labelsBroadcastable) residualRaw else residualRaw.repartition(col("src")))
         .localCheckpoint()
-    freeCheckpoint(sym) // superseded by pairLabels + residual
+    freeCheckpoint(sym)    // superseded by tagged
+    freeCheckpoint(tagged) // superseded by pairLabels + residual
 
     var labels = residual
       .select(col("src").as("id"))

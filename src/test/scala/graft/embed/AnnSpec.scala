@@ -102,6 +102,29 @@ class AnnSpec extends AnyFunSuite with Matchers {
     bc64 shouldBe lit64
   }
 
+  test("broadcast path matches the literal path on dirty rows (null / short / long vectors)") {
+    // the literal form null-propagates every projection for a null vector,
+    // a null element, or any length mismatch (zip_with pads with null;
+    // when(null >= 0) takes the otherwise-0 branch) — bucket 0, no task
+    // failure. The UDF form must degrade identically instead of throwing.
+    val dim = 16
+    val rng = new scala.util.Random(7L)
+    def vec(n: Int) = Seq.tabulate(n)(_ => java.lang.Long.valueOf(rng.nextInt(2000) - 1000L))
+    val rows: Seq[(Long, Seq[java.lang.Long])] = Seq(
+      1L -> vec(dim),                                    // clean
+      2L -> null,                                        // null vector
+      3L -> vec(dim - 3),                                // too short
+      4L -> vec(dim + 5),                                // too long
+      5L -> (vec(dim - 1) :+ null.asInstanceOf[java.lang.Long])) // null element
+    val df = rows.toDF("vec_id", "v")
+    val lit = df.select(col("vec_id"), Ann.lshBucketLiteral(col("v"), dim, 6, 0).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = df.select(col("vec_id"), Ann.lshBucketBroadcast(col("v"), dim, 6, 0).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bc shouldBe lit
+    Seq(2L, 3L, 4L, 5L).foreach(id => bc(id) shouldBe 0L)
+  }
+
   test("dim-1024 bucketedTopK runs through the broadcast path with bounded plans") {
     // dim x planes = 8192 entries per band — far past literalPlaneLimit, so
     // this exercises the broadcast form end to end at embedding widths real
