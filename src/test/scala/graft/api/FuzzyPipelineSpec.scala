@@ -375,4 +375,30 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     val defaultGate = fuzzyEdges(conf.copy(sigGateMinJaccard = 0.3))
     (plantedPairs intersect defaultGate) shouldBe empty
   }
+
+  test("an external candidatePairs() call racing the first dedupEdges() completes (no deadlock)") {
+    // regression for the three-thread cycle: edgesMemo's lazy-val
+    // initializer holds the instance monitor while blocking on its fuzzy
+    // branch; an external candidatePairs() caller arriving in the window
+    // before `index` finishes initializing used to wait on that monitor
+    // WHILE holding candLock, which the fuzzy branch then needed. The
+    // caller now forces `index` before taking the lock, so it waits
+    // holding nothing. The window is timing-dependent — this test drives
+    // both entry points concurrently from a cold pipeline and bounds the
+    // join; a reintroduced cycle hangs both futures and trips the bound.
+    val p = pipeline(states.take(30))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fEdges = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = p.dedupEdges().count()
+      })
+      val fCands = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = p.candidatePairs().count()
+      })
+      // generous bound: the cold pipeline itself needs ~10 s; a deadlock
+      // never completes
+      fEdges.get(180, java.util.concurrent.TimeUnit.SECONDS) should be >= 0L
+      fCands.get(180, java.util.concurrent.TimeUnit.SECONDS) should be >= 0L
+    } finally pool.shutdownNow()
+  }
 }
