@@ -19,9 +19,15 @@ object Invariant {
     * transcript is regenerated from the deterministic row plan.
     */
   def check(clips: DataFrame, seed: Long = 42L): DataFrame = {
+    // a corrupted row must SURFACE as pcm_ok=false in the report, not kill
+    // the job: this checker exists to identify which rows a byte-moving
+    // step damaged, so decode failures (truncated/misaligned bytes, null)
+    // map to snr_db=null instead of a task failure
     val snrUdf = udf { (bytes: Array[Byte], baseIdx: Long, durMs: Int) =>
-      val (sr, samples) = Wav.fromWav(bytes)
-      Wav.snrDbVsClean(baseIdx, sr, durMs, samples)
+      try {
+        val (sr, samples) = Wav.fromWav(bytes)
+        Option(Wav.snrDbVsClean(baseIdx, sr, durMs, samples))
+      } catch { case scala.util.control.NonFatal(_) => Option.empty[Double] }
     }
     val expectedTranscript = udf { (i: Long) =>
       ClipSynth.clipAt(i, seed, includeAudio = false).transcript
@@ -29,7 +35,7 @@ object Invariant {
     clips
       .withColumn("row_idx", regexp_extract(col("clip_id"), "clip_(\\d+)", 1).cast("long"))
       .withColumn("snr_db", snrUdf(col("bytes"), col("base_idx"), col("dur_ms")))
-      .withColumn("pcm_ok", col("snr_db") >= MinSnrDb)
+      .withColumn("pcm_ok", coalesce(col("snr_db") >= MinSnrDb, lit(false)))
       .withColumn("transcript_ok",
         col("transcript") === expectedTranscript(col("row_idx")))
       .select("clip_id", "snr_db", "pcm_ok", "transcript_ok")

@@ -101,20 +101,24 @@ object Wav {
     while (buf.remaining() >= 8 && (srHz < 0 || samples == null)) {
       val id = new Array[Byte](4); buf.get(id)
       val size = buf.getInt()
+      // RIFF pads odd-sized chunks to 2-byte alignment: the next chunk id
+      // starts at size + (size & 1), not size — skipping the pad is what
+      // keeps the walk aligned on in-the-wild files with odd LIST/INFO
+      // chunks before `data`
+      val next = buf.position() + size + (size & 1)
       new String(id, "US-ASCII") match {
         case "fmt " =>
           val fmt = buf.getShort(); val ch = buf.getShort()
           require(fmt == 1 && ch == 1, s"unsupported wav fmt=$fmt channels=$ch")
           srHz = buf.getInt()
-          buf.position(buf.position() + size - 8)
         case "data" =>
           val n = size / 2
           samples = new Array[Short](n)
           var k = 0
           while (k < n) { samples(k) = buf.getShort(); k += 1 }
-        case _ =>
-          buf.position(buf.position() + size)
+        case _ => ()
       }
+      if (srHz < 0 || samples == null) buf.position(math.min(next, buf.limit()))
     }
     require(srHz > 0 && samples != null, "missing fmt/data chunk")
     (srHz, samples)

@@ -79,13 +79,29 @@ object TableIO {
     *    insert-only semantics, so the shared call site is exercised end to
     *    end by local tests.
     */
-  def upsert(spark: SparkSession, target: String, delta: DataFrame, keyCol: String): Unit =
+  def upsert(spark: SparkSession, target: String, deltaRaw: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, row_number, struct}
+    // first-writer-wins applies WITHIN the delta too: a distributed batch
+    // has no row order, so "first" for in-batch duplicate keys is defined
+    // deterministically as the minimum full row — without this, both the
+    // anti-join branch and the insert-only MERGE would insert every
+    // duplicate and the table would hold several rows per key forever
+    val delta = deltaRaw
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(struct(deltaRaw.columns.map(col).toIndexedSeq: _*))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     if (format == "iceberg") {
-      val view = "graft_merge_src"
+      // per-call unique view name: concurrent upserts on one session would
+      // otherwise race through a shared temp view and merge each other's
+      // deltas
+      val view = "graft_merge_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
       delta.createOrReplaceTempView(view)
-      spark.sql(mergeSql(tableIdent(target), view, keyCol, delta.columns.toSeq))
+      try spark.sql(mergeSql(tableIdent(target), view, keyCol, delta.columns.toSeq))
+      finally spark.catalog.dropTempView(view)
     } else {
-      import org.apache.spark.sql.functions.col
       // crash recovery (round-3 ADVICE): a crash between the two moves
       // below leaves the table only at `._merge_old` — restore it; stale
       // `._merge_tmp`/`._merge_old` from any earlier crash would otherwise
@@ -117,11 +133,17 @@ object TableIO {
         deleteRecursively(old)
       } else Files.move(Paths.get(tmp), tgt)
     }
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // Files.walk holds directory handles until the STREAM is closed —
+      // consuming the iterator is not enough, and upsert calls this up to
+      // three times per invocation on a long-lived driver
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
     }
   }
 

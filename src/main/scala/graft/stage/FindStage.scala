@@ -199,11 +199,13 @@ object FindStage {
     * key_b) — identical to the score the reference rerank would assign.
     * The signature gate already certifies shared grams (see below), so the
     * lev mode goes straight from gate to keys: no postings join at all.
-    * Without useLevenshtein, the cosine at the largest gram size the pair
-    * shares grams at, via a postings equi-join RESTRICTED to candidate
-    * ids — linear in (pairs x shared grams), never all-pairs. Divergence
-    * from probe mode: no per-query top-50 crowding (can only ADD pairs, so
-    * recall vs the oracle is preserved; SURVEY §2.5 tie-break note).
+    * Without useLevenshtein, the cosine at the largest gram size where the
+    * pair PASSES minScore (mirroring the cascade's fallthrough — see the
+    * window comment below), via a postings equi-join RESTRICTED to
+    * candidate ids — linear in (pairs x shared grams), never all-pairs.
+    * Divergence from probe mode: no per-query top-50 crowding (can only
+    * ADD pairs, so recall vs the oracle is preserved; SURVEY §2.5
+    * tie-break note).
     *
     * `pairs` must be materialized by the caller (it is counted to pick the
     * broadcast side).
@@ -289,13 +291,19 @@ object FindStage {
       .join(nb, Seq("b_id", "gram_size"))
       .withColumn("cosine", col("dot") / (col("a_mag") * col("b_mag")))
 
-    // per pair keep the largest gram size with shared grams
+    // per pair keep the largest gram size whose cosine PASSES minScore —
+    // filtering first is what preserves the cascade's fallthrough: a pair
+    // can share size-3 grams at cosine3 < minScore yet pass at size 2, and
+    // the probe-mode cascade (no size-3 match for the probe) emits it at
+    // size 2. Keeping the largest SHARED size before the filter (rounds
+    // 1-3) silently dropped exactly those edges. For every pair the
+    // cascade finds at size s this reports the same size-s score: the
+    // cascade stopping at s means no larger size passed for that pair.
     val w = Window.partitionBy("a_id", "b_id").orderBy(col("gram_size").desc)
-    val top = cos.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-
-    top
+    cos
+      .filter(col("cosine") >= minScore)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .withColumn("score", col("cosine"))
-      .filter(col("score") >= minScore)
       .select(col("a_id"), col("b_id"), lit("fuzzy").as("kind"), col("score"))
   }
 }

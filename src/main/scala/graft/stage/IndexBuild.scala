@@ -37,12 +37,15 @@ object IndexBuild {
     * (idCol, textCol) are selected.
     *
     * `mat(stage, df)` materializes each stage table (parquet checkpoint or
-    * localCheckpoint) and its RESULT feeds the downstream stages — so
-    * norms build from the materialized postings, bands from the
-    * materialized sigs, etc. Deriving downstream tables from the
-    * pre-materialization plans instead would recompute the whole upstream
-    * lineage once per table (localCheckpoint and parquet round-trips,
-    * unlike .cache(), do not substitute into already-built plans).
+    * localCheckpoint) and its RESULT feeds downstream derivations — bands
+    * build from the materialized sigs, and postings/norms each re-derive
+    * the gram extraction from the materialized ITEMS (both are map-side
+    * projections of items — see FuzzyPipeline.mapSideStages: storing or
+    * chaining them buys nothing, recompute is a cheap parallel map).
+    * Deriving from the pre-materialization plans instead would recompute
+    * the whole upstream lineage once per table (localCheckpoint and
+    * parquet round-trips, unlike .cache(), do not substitute into
+    * already-built plans).
     */
   def apply(
       input: DataFrame,

@@ -376,6 +376,34 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     (plantedPairs intersect defaultGate) shouldBe empty
   }
 
+  test("cosine-mode dedup keeps pairs that pass only at the smaller gram size (cascade fallthrough)") {
+    // "cat dog" vs "dog cat": shared 3-grams {cat, dog} of 7 each ->
+    // cosine3 = 2/7 < 0.33, but shared 2-grams {ca,at,do,og} of 8 each ->
+    // cosine2 = 0.5 >= 0.33. The reference cascade (self excluded) finds
+    // no non-self match at size 3 and falls through to size 2, emitting
+    // the edge at 0.5 — keeping only the largest SHARED size before the
+    // minScore filter (rounds 1-3) dropped exactly this edge from the
+    // scale path. Gate lowered + rowsPerBand=1 so candidate generation is
+    // certain and the verify stage is the only variable.
+    val corpus = Seq("cat dog", "dog cat", "zzzz wwww", "qqqq rrrr", "mmmm nnnn")
+    val conf = FuzzyConf(useLevenshtein = false, minScore = 0.33,
+      sigGateMinJaccard = 0.05, minhashBands = 126, rowsPerBand = 1)
+
+    def pairScores(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+      df.filter($"kind" === "fuzzy").select("a_id", "b_id", "score")
+        .as[(String, String, Double)].collect()
+        .map { case (a, b, s) => norm2(a, b) -> s }.toMap
+
+    val target = norm2("c000000", "c000001")
+    val exhaustive = pairScores(pipeline(corpus, conf).dedupEdgesExhaustive())
+    exhaustive.keySet should contain(target) // fixture sanity: the reference emits it
+    exhaustive(target) shouldBe 0.5 +- 1e-9
+
+    val scale = pairScores(pipeline(corpus, conf).dedupEdges())
+    scale.keySet should contain(target)
+    scale(target) shouldBe 0.5 +- 1e-9
+  }
+
   test("an external candidatePairs() call racing the first dedupEdges() completes (no deadlock)") {
     // regression for the three-thread cycle: edgesMemo's lazy-val
     // initializer holds the instance monitor while blocking on its fuzzy

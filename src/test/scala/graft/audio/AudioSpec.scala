@@ -42,6 +42,30 @@ class WavSpec extends AnyFunSuite with Matchers {
     an[Exception] should be thrownBy Wav.fromWav(Array[Byte](1, 2, 3))
     an[Exception] should be thrownBy Wav.fromWav(("JUNK" + "x" * 60).getBytes)
   }
+
+  test("chunk walk skips the RIFF pad byte after an odd-sized chunk") {
+    // splice an odd-length LIST chunk (size 13 + 1 pad byte) between fmt
+    // and data: RIFF aligns chunks to 2 bytes, so a walker that advances
+    // by `size` alone reads the pad byte as the next chunk id and derails
+    val samples = Wav.synthSamples(2, 8000, 200, noiseSeed = 5L)
+    val canonical = Wav.toWav(samples, 8000)
+    val odd = 13
+    val out = java.nio.ByteBuffer
+      .allocate(canonical.length + 8 + odd + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(canonical, 0, 36)                  // RIFF..WAVE + fmt chunk
+    out.put("LIST".getBytes("US-ASCII"))
+    out.putInt(odd)
+    out.put(Array.fill[Byte](odd + 1)(0x7f))   // payload + pad byte
+    out.put(canonical, 36, canonical.length - 36) // data chunk
+    val bytes = out.array()
+    // keep the RIFF size field consistent with the larger file
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, bytes.length - 8)
+    val (sr, back) = Wav.fromWav(bytes)
+    sr shouldBe 8000
+    back shouldBe samples
+  }
 }
 
 class InvariantSpec extends AnyFunSuite with Matchers {
@@ -67,6 +91,26 @@ class InvariantSpec extends AnyFunSuite with Matchers {
     }
     val clips = ClipSynth.table(spark, 10).withColumn("bytes", corrupt(col("bytes")))
     Invariant.check(clips).filter("pcm_ok").count() shouldBe 0
+  }
+
+  test("undecodable bytes surface as pcm_ok=false rows, not a job failure") {
+    import org.apache.spark.sql.functions._
+    // truncate half the rows below a valid header: the report must still
+    // cover EVERY row (identifying which ones are damaged is the checker's
+    // purpose), with snr_db null and pcm_ok false on the broken ones
+    val truncate = udf { (b: Array[Byte], id: String) =>
+      if (id.endsWith("1") || id.endsWith("3")) b.take(20) else b
+    }
+    val clips = ClipSynth.table(spark, 10).withColumn("bytes", truncate(col("bytes"), col("clip_id")))
+    val rep = Invariant.check(clips).collect()
+    rep.length shouldBe 10
+    val bad = rep.filter(r => { val id = r.getString(0); id.endsWith("1") || id.endsWith("3") })
+    bad.length shouldBe 2 // clip_...001 and clip_...003
+    bad.foreach { r =>
+      r.isNullAt(r.fieldIndex("snr_db")) shouldBe true
+      r.getBoolean(r.fieldIndex("pcm_ok")) shouldBe false
+    }
+    rep.count(r => r.getBoolean(r.fieldIndex("pcm_ok"))) shouldBe 8
   }
 
   test("transcript mutation FAILS the invariant (negative control)") {

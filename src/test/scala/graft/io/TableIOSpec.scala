@@ -81,6 +81,18 @@ class TableIOSpec extends AnyFunSuite with Matchers {
     got shouldBe Map("k1" -> "first", "k2" -> "second", "k3" -> "third")
   }
 
+  test("upsert dedupes duplicate keys WITHIN a delta (deterministic first writer)") {
+    // a distributed batch has no row order, so in-batch "first" is defined
+    // as the minimum full row; without the dedupe both duplicate rows
+    // would insert and the table would hold two rows for k1 forever
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_dup").toString + "/items"
+    val delta = Seq(("k1", "vB"), ("k1", "vA"), ("k2", "w")).toDF("key", "value")
+    TableIO.upsert(spark, dir, delta, "key")
+    val got = spark.read.parquet(dir).as[(String, String)].collect().toMap
+    got shouldBe Map("k1" -> "vA", "k2" -> "w") // min row wins, one row per key
+    spark.read.parquet(dir).count() shouldBe 2L
+  }
+
   test("parquet upsert recovers from a crash between the swap moves") {
     // round-3 ADVICE: simulate a crash AFTER move(target -> ._merge_old)
     // and BEFORE move(._merge_tmp -> target): the table exists only at
