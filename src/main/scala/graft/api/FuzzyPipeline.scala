@@ -207,13 +207,19 @@ final case class FuzzyPipeline(
           idx.sigs.count() // force ONCE so racing consumers read blocks, not lineage
           candidatesCache = ckpt("candidates")(
             Candidates.fusedPairs(
-              idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket))
+              idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk,
+              conf.maxSaltedBucket, scratch))
         }
         candidatesCache
       }
     }
   }
   private val candLock = new Object
+  // intermediate-checkpoint collector shared by candidate generation and
+  // the edge branches; released in edgesMemo once the branch tables are
+  // materialized (their write/matSer is the scratch's last consumer).
+  // private[api] so the spec can assert the release actually happened
+  private[api] val scratch = new graft.stage.Scratch
   // private[api] so the resume spec can assert the fuzzy branch (and with
   // it candidate generation) never ran on a fresh-checkpoint resume
   @volatile private[api] var candidatesCache: DataFrame = _
@@ -253,12 +259,20 @@ final case class FuzzyPipeline(
       // adding its whole stage chain to the critical path while
       // exact/substr cores sat idle)
       val branches = concurrently(
-        () => matSer(FindStage.verifyPairs(candidatePairs(), idx, conf.minScore)),
+        () => matSer(FindStage.verifyPairs(candidatePairs(), idx, conf.minScore, scratch)),
         () => matSer(Candidates.exactEdges(idx.members)),
         () => matSer(Candidates.substringPairs(
-          idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)))
+          idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket,
+          scratch)))
       val Seq(fuzzy, exact, substr) = branches
       lastEdgeBranches = branches
+      // every branch is eagerly block-materialized (matSer) and candidate
+      // generation was forced inside the fuzzy branch (verifyPairs counts
+      // its pair side), so the stages' intermediate checkpoints — bucket
+      // directories, exploded window hashes, gated pairs, pruned postings
+      // — have served their one materialization and can be freed now,
+      // in BOTH ckpt modes
+      scratch.release()
       exact.unionByName(fuzzy).unionByName(substr)
     }
     checkpointDir match {
@@ -302,27 +316,39 @@ final case class FuzzyPipeline(
   /** (clip_id, component): every source row labeled with the min clip_id of
     * its duplicate cluster; singleton rows keep their own id.
     */
-  def clusters(): DataFrame = ckpt("clusters") {
-    // inside the by-name ckpt block: the CC loop runs eager Spark jobs per
-    // iteration, so on a checkpoint-dir resume the stored labels are
-    // re-read without touching the edge stages or re-iterating CC
-    val edges = dedupEdges().select("a_id", "b_id")
-    val vertices = index.members.select(col("clip_id").as("id"))
-    Cluster
-      .connectedComponents(vertices, edges)
-      .select(col("id").as("clip_id"), col("component"))
-  }
+  def clusters(): DataFrame = clustersFrom(() => dedupEdges(), "clusters")
 
   /** [[clusters]] over the EXHAUSTIVE (full reference-fidelity) edge set —
     * bit-identical to clustering the in-memory reference's own match
     * results, so it is oracle-checkable end to end. Validation /
     * small-corpus mode; `clusters()` is the 10^12 path.
     */
-  def clustersExhaustive(): DataFrame = ckpt("clusters_exhaustive") {
-    val edges = dedupEdgesExhaustive().select("a_id", "b_id")
-    val vertices = index.members.select(col("clip_id").as("id"))
-    Cluster
-      .connectedComponents(vertices, edges)
-      .select(col("id").as("clip_id"), col("component"))
+  def clustersExhaustive(): DataFrame =
+    clustersFrom(() => dedupEdgesExhaustive(), "clusters_exhaustive")
+
+  /** Shared CC driver for both edge sets. The CC loop's surviving blocks
+    * (final label generation + contracted-pair labels — endpoint-sized,
+    * real memory at 10^12 rows) are released once the parquet checkpoint
+    * write has consumed them, same pattern as the edge branches above. In
+    * local (no-checkpoint-dir) mode the result is only LAZILY checkpointed
+    * — the label blocks are still its lineage until the first consuming
+    * job — so there is nothing safe to free here and the blocks live for
+    * the pipeline instance, bounded by its corpus.
+    */
+  private def clustersFrom(edgeSet: () => DataFrame, stage: String): DataFrame = {
+    // eager CC work stays inside the by-name ckpt block: on a
+    // checkpoint-dir resume the stored labels are re-read without
+    // touching the edge stages or re-iterating CC (and then there are no
+    // loop blocks to free)
+    var release: () => Unit = () => ()
+    val out = ckpt(stage) {
+      val edges = edgeSet().select("a_id", "b_id")
+      val vertices = index.members.select(col("clip_id").as("id"))
+      val (labeled, _, rel) = Cluster.connectedComponentsReleasable(vertices, edges)
+      release = rel
+      labeled.select(col("id").as("clip_id"), col("component"))
+    }
+    if (checkpointDir.isDefined) release()
+    out
   }
 }

@@ -54,10 +54,11 @@ object Candidates {
       keyed: DataFrame,
       cap: Int,
       saltChunk: Int,
-      maxSalted: Int): DataFrame =
+      maxSalted: Int,
+      scratch: Scratch = Scratch.noop): DataFrame =
     taggedSelfPairs(
       keyed.select(col("bkey"), lit(0).as("ktype"), col("item_id"), lit(0L).as("sh")),
-      cap, saltChunk, maxSalted, maxHamming = 0)
+      cap, saltChunk, maxSalted, maxHamming = 0, scratch)
 
   /** [[bucketSelfPairs]] generalized to a mixed key space: `keyed` has
     * columns (bkey, ktype, item_id, sh). Rows with ktype = 1 are SimHash
@@ -87,12 +88,13 @@ object Candidates {
       cap: Int,
       saltChunk: Int,
       maxSalted: Int,
-      maxHamming: Int): DataFrame = {
-    val sizes = keyed
+      maxHamming: Int,
+      scratch: Scratch = Scratch.noop): DataFrame = {
+    val sizes = scratch.track(keyed
       .groupBy("bkey", "ktype")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > 1)
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     // six downstream branches (small a/b, hot A/B, flood x2) consume the
     // keyed-with-size table. When the non-singleton bucket directory is
     // small (the common case — most band values are unique), BROADCAST it
@@ -105,8 +107,8 @@ object Candidates {
       if (sizes.count() <= bucketDirBroadcastLimit)
         keyed.join(sizes.hint("broadcast"), Seq("bkey", "ktype"))
       else
-        keyed.join(sizes, Seq("bkey", "ktype"))
-          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        scratch.track(keyed.join(sizes, Seq("bkey", "ktype"))
+          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val keep = (col("ktype") =!= 1) ||
       bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming
 
@@ -158,10 +160,11 @@ object Candidates {
       bands: DataFrame,
       maxBandBucket: Int,
       saltChunk: Int = 64,
-      maxSaltedBucket: Int = 4096): DataFrame =
+      maxSaltedBucket: Int = 4096,
+      scratch: Scratch = Scratch.noop): DataFrame =
     bucketSelfPairs(
       bands.select(col("band_key").as("bkey"), col("item_id")),
-      maxBandBucket, saltChunk, maxSaltedBucket)
+      maxBandBucket, saltChunk, maxSaltedBucket, scratch)
 
   /** Above this many contained-side keys the sorted prefix-hash array can
     * no longer broadcast (~8 bytes/key: 20M keys = 160 MB) and the
@@ -204,7 +207,12 @@ object Candidates {
     * Emits (a_id=contained, b_id=container, kind="substr",
     * score=len(a)/len(b)) for score >= minRatio.
     */
-  def substringPairs(items: DataFrame, prefixLen: Int, minRatio: Double, maxBucket: Int): DataFrame = {
+  def substringPairs(
+      items: DataFrame,
+      prefixLen: Int,
+      minRatio: Double,
+      maxBucket: Int,
+      scratch: Scratch = Scratch.noop): DataFrame = {
     val keyed = items.select(col("item_id"), col("key"), length(col("key")).as("klen"))
     val longK = keyed.filter(col("klen") >= prefixLen)
     val contained = longK
@@ -231,10 +239,10 @@ object Candidates {
         // contains() verification below rejects it). Materialized once:
         // the hot-prefix aggregation and the candidate join consume it on
         // different keys, so exchange reuse cannot share the explode.
-        val containers = longK
+        val containers = scratch.track(longK
           .select(col("item_id").as("b_id"),
             explode(prefixHashes(prefixLen)(col("key"))).as("pfx"))
-          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
         containers.join(contained.select("pfx").distinct(), Seq("pfx"), "left_semi")
       }
 
@@ -276,14 +284,14 @@ object Candidates {
       .filter(col("klen") >= 1 && col("klen") < prefixLen)
       .select(col("item_id").as("a_id"), xxhash64(col("key")).as("subh"),
         col("key").as("a_key"), col("klen").as("a_len"))
-    val shortWindowed = keyed
+    val shortWindowed = scratch.track(keyed
       .filter(col("klen") >= 2 && col("klen") <= maxShortContainerLen)
       .select(col("item_id").as("b_id"), col("key").as("b_key"), col("klen").as("b_len"),
         explode(shortWindowHashes(prefixLen)(col("key"))).as("subh"))
       // same two-consumers-on-different-keys shape as the long regime's
       // `containers`: the okSub aggregation and the candidate join would
       // otherwise each re-run the O(L^2/minRatio)-per-row window explode
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     // same hot-bucket fanout cap as the long regime, per substring hash
     val okSub = shortWindowed
       .groupBy("subh")
@@ -409,13 +417,14 @@ object Candidates {
       maxHamming: Int,
       maxBandBucket: Int,
       saltChunk: Int = 64,
-      maxSaltedBucket: Int = 4096): DataFrame = {
+      maxSaltedBucket: Int = 4096,
+      scratch: Scratch = Scratch.noop): DataFrame = {
     val chunked = sigs.select(
       explode(array((0 until 4).map(c => chunkKey(col("simhash"), c)): _*)).as("bkey"),
       lit(1).as("ktype"),
       col("item_id"),
       col("simhash").as("sh"))
-    taggedSelfPairs(chunked, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming)
+    taggedSelfPairs(chunked, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming, scratch)
   }
 
   /** LSH band keys and SimHash chunk keys fused into ONE keyed table ->
@@ -432,7 +441,8 @@ object Candidates {
       maxHamming: Int,
       maxBandBucket: Int,
       saltChunk: Int = 64,
-      maxSaltedBucket: Int = 4096): DataFrame = {
+      maxSaltedBucket: Int = 4096,
+      scratch: Scratch = Scratch.noop): DataFrame = {
     // one tight Scala pass per row, NOT transform()+struct() columns: higher-
     // order-function lambdas run in the expression interpreter per element
     // (graft perf note — the round-2 profile's hottest stage was exactly
@@ -452,6 +462,6 @@ object Candidates {
       .select(col("item_id"), col("simhash").as("sh"),
         explode(keys(col("band_hashes"), col("simhash"))).as("k"))
       .select(col("k._1").as("bkey"), col("k._2").as("ktype"), col("item_id"), col("sh"))
-    taggedSelfPairs(keyed, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming)
+    taggedSelfPairs(keyed, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming, scratch)
   }
 }

@@ -62,6 +62,25 @@ object Cluster {
       edges: DataFrame,
       maxIter: Int,
       maxBroadcastEndpoints: Long): (DataFrame, Int) = {
+    val (out, iter, _) =
+      connectedComponentsReleasable(vertices, edges, maxIter, maxBroadcastEndpoints)
+    (out, iter)
+  }
+
+  /** Like [[connectedComponentsWithStats]] but also returns a release hook
+    * that unpersists the loop's surviving checkpoint blocks (the final
+    * label generation + the contracted-pair labels — both endpoint-sized,
+    * which at 10^12-row scale is real executor memory). The returned
+    * DataFrame is a plan OVER those blocks, so the hook must only run
+    * after the caller has durably materialized the result (e.g. a parquet
+    * checkpoint write); freeing earlier loses the labels — a locally
+    * checkpointed RDD's lineage is truncated and cannot recompute.
+    */
+  private[graft] def connectedComponentsReleasable(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 25,
+      maxBroadcastEndpoints: Long = 2000000L): (DataFrame, Int, () => Unit) = {
     // hash-partition the STATIC edge table by the join key once, before
     // its checkpoint: Dataset.localCheckpoint preserves outputPartitioning
     // in the LogicalRDD, so every iteration's neighbor join reuses it and
@@ -197,6 +216,7 @@ object Cluster {
       .join(labels.unionByName(pairLabels), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     freeCheckpoint(residual)
-    (out, iter)
+    val finalGen = gen
+    (out, iter, () => { freeCheckpoint(finalGen); freeCheckpoint(pairLabels) })
   }
 }

@@ -210,7 +210,11 @@ object FindStage {
     * `pairs` must be materialized by the caller (it is counted to pick the
     * broadcast side).
     */
-  def verifyPairs(pairs: DataFrame, idx: IndexTables, minScore: Double): DataFrame = {
+  def verifyPairs(
+      pairs: DataFrame,
+      idx: IndexTables,
+      minScore: Double,
+      scratch: Scratch = Scratch.noop): DataFrame = {
     val conf = idx.conf
 
     // the candidate volume is known (caller materializes pairs): when it is
@@ -263,7 +267,9 @@ object FindStage {
         .select(col("a_id"), col("b_id"), lit("fuzzy").as("kind"), col("score"))
     }
 
-    val gated = gatedRaw.localCheckpoint() // consumed by three branches below
+    // consumed by three branches below; scratch once the caller's verified
+    // edges are materialized
+    val gated = scratch.track(gatedRaw.localCheckpoint())
 
     // semi-join prune postings to candidate ids BEFORE the pair join: the
     // candidate id set is tiny relative to the corpus (broadcast), so the
@@ -272,7 +278,7 @@ object FindStage {
     // materialized — postings is a recompute-on-read projection of items,
     // so feeding the a-side and b-side from separate scans (round 1) paid
     // the corpus-wide gram extraction twice
-    val pruned = prunedPostings(gated, idx).localCheckpoint(false)
+    val pruned = scratch.track(prunedPostings(gated, idx).localCheckpoint(false))
     val pa = pruned
       .select(col("item_id").as("a_id"), col("gram_size"), col("gram"), col("cnt").as("a_cnt"))
     val pb = pruned

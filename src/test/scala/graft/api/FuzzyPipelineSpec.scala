@@ -404,6 +404,20 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     scale(target) shouldBe 0.5 +- 1e-9
   }
 
+  test("edge-stage scratch checkpoints are released once the branches materialize") {
+    // cosine mode exercises every scratch source: bucket directory (sizes),
+    // short-window explode, gated pair table, pruned postings
+    val conf = FuzzyConf(useLevenshtein = false)
+    val p = pipeline(states, conf)
+    p.dedupEdges().count()
+    p.scratch.releasedCount should be > 0L // scratch actually flowed end-to-end
+    p.scratch.pending shouldBe 0
+    // the released tables were lineage only for the branch materialization:
+    // the edge result re-reads branch blocks, so a second consumption still
+    // works (and returns the same rows) after the release
+    noException should be thrownBy p.dedupEdges().collect()
+  }
+
   test("an external candidatePairs() call racing the first dedupEdges() completes (no deadlock)") {
     // regression for the three-thread cycle: edgesMemo's lazy-val
     // initializer holds the instance monitor while blocking on its fuzzy

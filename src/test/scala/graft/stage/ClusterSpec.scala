@@ -125,6 +125,25 @@ class ClusterSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the release hook frees the loop's surviving label blocks after the result materializes") {
+    // triangle (iterates) + isolated pair (contracts): both block sources
+    // the hook must free — the final label generation and the pair labels
+    val edges = Seq(("p", "q"), ("q", "r"), ("r", "p"), ("y", "x")).toDF("a_id", "b_id")
+    val vertices = Seq("p", "q", "r", "x", "y", "lone").toDF("id")
+    def stored() = spark.sparkContext.getRDDStorageInfo.length
+    val before = stored()
+    val (labels, iters, release) = Cluster.connectedComponentsReleasable(vertices, edges)
+    iters should be > 0
+    labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap shouldBe Map(
+      "p" -> "p", "q" -> "p", "r" -> "p", "x" -> "x", "y" -> "x", "lone" -> "lone")
+    release()
+    // unpersist is async -> bounded retry before asserting all blocks from
+    // this call are gone
+    var waited = 0
+    while (stored() > before && waited < 20) { Thread.sleep(250); waited += 1 }
+    stored() should be <= before
+  }
+
   test("beyond the broadcast gate the shuffle-join regime still converges correctly") {
     // gate forced to 0: the exact production code path a >2M-endpoint graph
     // takes, exercised on a small fixture (chain + triangle + singleton)
