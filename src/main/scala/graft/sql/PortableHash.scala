@@ -43,26 +43,58 @@ object PortableHash {
   def h60(s: String, off: Int): Long =
     java.lang.Long.parseLong(md5Hex(s).substring(off - 1, off + 14), 16)
 
+  /** The 60-bit word starting at digest byte `off` (0 for the first hex
+    * half, 8 for the second): bytes off..off+6 big-endian plus the HIGH
+    * nibble of byte off+7 — bit-identical to
+    * `parseLong(md5Hex(s).substring(2*off, 2*off+15), 16)` without
+    * materializing the 32-char hex string and two substrings per gram
+    * (a measured slice of the signature stage's GC at bench scale).
+    */
+  @inline private def digest60(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = off
+    while (i < off + 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(off + 7) >> 4) & 0xfL)
+  }
+
   /** MinHash signature over the DISTINCT gram set + SimHash over the gram
     * MULTISET, one md5 pass per gram occurrence.
     */
   def sigAndSimhash(grams: Seq[String], numHashes: Int): (Array[Long], Long) = {
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val balance = new Array[Long](60)
+    val state = new SigState(numHashes)
     val seen = scala.collection.mutable.HashSet.empty[String]
     grams.foreach { g =>
-      val hex = md5Hex(g)
-      val h1full = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      state.add(g.getBytes(java.nio.charset.StandardCharsets.UTF_8), seen.add(g))
+    }
+    (state.sig, state.simhash)
+  }
+
+  /** Streaming accumulator for one row's signature — shared by the
+    * Seq[String] entry point above and the native SigBandsExpr (which
+    * feeds raw UTF8String bytes, no JVM String per gram).
+    */
+  final class SigState(numHashes: Int) {
+    val sig: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    private val balance = new Array[Long](60)
+
+    /** Fold one gram occurrence (its UTF-8 bytes) into the state;
+      * `distinct` = first occurrence of this gram in the row (minhash uses
+      * the distinct set, simhash every occurrence).
+      */
+    def add(utf8: Array[Byte], distinct: Boolean): Unit = {
+      val md = digestTL.get()
+      md.reset()
+      val d = md.digest(utf8)
+      val h1full = digest60(d, 0)
       // simhash uses every occurrence (multiset weights)
       var b = 0
       while (b < 60) {
         balance(b) += (if (((h1full >>> b) & 1L) == 1L) 1L else -1L)
         b += 1
       }
-      // minhash uses the distinct set
-      if (seen.add(g)) {
+      if (distinct) {
         val h1 = h1full % P
-        val h2 = java.lang.Long.parseLong(hex.substring(16, 31), 16) % P
+        val h2 = digest60(d, 8) % P
         var k = 0
         var hk = h1
         while (k < numHashes) {
@@ -72,13 +104,16 @@ object PortableHash {
         }
       }
     }
-    var sim = 0L
-    var b = 0
-    while (b < 60) {
-      if (balance(b) > 0) sim |= (1L << b)
-      b += 1
+
+    def simhash: Long = {
+      var sim = 0L
+      var b = 0
+      while (b < 60) {
+        if (balance(b) > 0) sim |= (1L << b)
+        b += 1
+      }
+      sim
     }
-    (sig, sim)
   }
 
   /** splitmix64 finalizer — strong 64-bit mixing for band tokens. */

@@ -58,6 +58,16 @@ object functions {
     org.apache.spark.sql.GraftColumnBridge.column(
       GramCountsExpr(org.apache.spark.sql.GraftColumnBridge.expression(c), n))
 
+  /** MinHash signature + SimHash + LSH band tokens of a gram-multiset
+    * column in one native pass — struct<sig, simhash, band_hashes>. See
+    * [[SigBandsExpr]] for why this is not a UDF.
+    */
+  def sigBands(gramsCol: Column, numHashes: Int, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SigBandsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(gramsCol),
+        numHashes, bands, rowsPerBand))
+
   /** The pure-built-in composition of the same kernel — kept for the
     * expression-parity tests and as documentation of the declarative form.
     */
@@ -118,13 +128,17 @@ object functions {
     minhashFromHashes(gramHashPairs(gramsCol), numHashes)
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
-    * components (stderr ~ sqrt(j(1-j)/H)).
+    * components (stderr ~ sqrt(j(1-j)/H)). Native codegen expression
+    * (EstJaccardExpr): the zip_with/aggregate HOF form ran in the
+    * expression interpreter per component, and a Seq[Long] UDF boxes 2 x H
+    * longs per row — both measured GC drivers on the pair-verification
+    * gate, which evaluates this once per candidate pair.
     */
   def estJaccard(sigA: Column, sigB: Column): Column =
-    F.aggregate(
-      F.zip_with(sigA, sigB, (a, b) => F.when(a === b, 1).otherwise(0)),
-      F.lit(0),
-      (acc, x) => acc + x).cast("double") / F.size(sigA)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      EstJaccardExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(sigA),
+        org.apache.spark.sql.GraftColumnBridge.expression(sigB)))
 
   /** LSH band keys: array of `bands` strings "<band>:<sig[b*r]>,...". A band
     * key equality <=> the r signature rows in that band all agree.

@@ -230,22 +230,15 @@ object FindStage {
     // the minScore the run uses, see FuzzyConf scaladoc) sits > 5 sigma
     // below any genuinely-near pair (single-edit J >= 0.65); on
     // vocabulary-dense corpora this drops the candidate volume ~100x.
-    // one-pass UDF, not the zip_with/aggregate HOF composition: HOFs run
-    // in the expression interpreter per element and this compares H
-    // components per candidate pair (gf.estJaccard stays for query-scale
-    // use)
-    val estJacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      var i = 0
-      var c = 0
-      while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
-      c.toDouble / a.length
-    }
+    // gf.estJaccard is a native codegen expression over the raw array
+    // words — the Seq[Long] UDF it replaces boxed 2 x H longs per pair
+    // through the converter, a measured slice of the edge stage's GC wall
     val sa = idx.sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig"))
     val sb = idx.sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig"))
     val gatedRaw = pairSide(pairs)
       .join(sa, Seq("a_id"))
       .join(sb, Seq("b_id"))
-      .filter(estJacUdf(col("a_sig"), col("b_sig")) >= conf.sigGateMinJaccard)
+      .filter(gf.estJaccard(col("a_sig"), col("b_sig")) >= conf.sigGateMinJaccard)
       .select("a_id", "b_id")
 
     if (conf.useLevenshtein) {

@@ -97,19 +97,12 @@ object IndexBuild {
     val norms = mat("norms", sized
       .select(col("item_id"), col("gram_size"), magUdf(col("gc.cnt")).as("magnitude")))
 
-    // signatures + band tokens via one tight Scala pass per row (PortableHash
-    // scaladoc: the pure-expression sig form re-runs md5s per component, and
-    // the band-key construction (nested transform/slice/array_join) runs in
-    // the HOF interpreter at ~300us/row — it was the hottest spot of the
-    // round-2 bench profile); value-identical to the column expressions and
-    // the DuckDB oracle
-    val H = conf.minhashHashes
-    val B = conf.minhashBands
-    val R = conf.rowsPerBand
-    val sigUdf = udf { (grams: Seq[String]) =>
-      val (sig, sim) = graft.sql.PortableHash.sigAndSimhash(grams, H)
-      (sig.toSeq, sim, graft.sql.PortableHash.bandHashes(sig, B, R).toSeq)
-    }
+    // signatures + band tokens via one tight native pass per row
+    // (SigBandsExpr: grams hash straight from their UTF-8 bytes — the
+    // pure-expression sig form re-runs md5s per component, the band-key
+    // HOF composition interpreted at ~300us/row was round 2's hottest
+    // spot, and the Seq[String] UDF form made the stage ~85% GC);
+    // value-identical to the column expressions and the DuckDB oracle
     // items whose normalized key is empty have no grams: no signature, no
     // LSH (all-empty sigs would otherwise bucket together and pair up);
     // byte-identical empties still dedup through the exact pass
@@ -117,9 +110,10 @@ object IndexBuild {
     val sigs = mat("sigs", items
       .select(col("item_id"), g.as("g"))
       .filter(size(col("g")) > 0)
-      .select(col("item_id"), sigUdf(col("g")).as("ss"))
-      .select(col("item_id"), col("ss._1").as("sig"), col("ss._2").as("simhash"),
-        col("ss._3").as("band_hashes")))
+      .select(col("item_id"),
+        gf.sigBands(col("g"), conf.minhashHashes, conf.minhashBands, conf.rowsPerBand).as("ss"))
+      .select(col("item_id"), col("ss.sig").as("sig"), col("ss.simhash").as("simhash"),
+        col("ss.band_hashes").as("band_hashes")))
 
     // band tokens shuffle as 8-byte longs (mixed from the band's signature
     // rows), not ~50-char strings: the LSH self-join shuffles |corpus| x

@@ -129,6 +129,58 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out shouldBe est +- 1e-12
   }
 
+  test("sigBands (native expr) == PortableHash kernels, incl. multibyte and repeated grams") {
+    val inputs: Seq[Seq[String]] = Seq(
+      Seq("abc", "bcd", "abc", "cde"), // repeats: simhash weights the multiset
+      Seq("hél", "wör", "hél"), // 2-byte UTF-8 (bytes-vs-String md5 parity)
+      Seq("日本語", "語日本"), // 3-byte UTF-8
+      Seq("x"))
+    val df = inputs.zipWithIndex.map { case (g, i) => (i, g) }.toDF("i", "g").repartition(2)
+    val q = df.select($"i", functions.sigBands($"g", 16, 4, 3).as("ss"))
+      .select($"i", $"ss.sig", $"ss.simhash", $"ss.band_hashes")
+    q.collect() // finalize AQE on THIS Dataset's QueryExecution
+    val out = q.as[(Int, Seq[Long], Long, Seq[Long])].collect().sortBy(_._1)
+    out.zip(inputs).foreach { case ((_, sig, sim, bh), grams) =>
+      val (eSig, eSim) = PortableHash.sigAndSimhash(grams, 16)
+      sig shouldBe eSig.toSeq
+      sim shouldBe eSim
+      bh shouldBe PortableHash.bandHashes(eSig, 4, 3).toSeq
+    }
+    // the kernel must stay inside whole-stage codegen
+    q.queryExecution.executedPlan.toString should include("*(")
+  }
+
+  test("estJaccard (native expr) matches the HOF column formula it replaced") {
+    import org.apache.spark.sql.{functions => F}
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50) {
+      val a = Array.fill(128)(rnd.nextLong() % 1000)
+      // ~40% shared components + a null-free independent remainder
+      val b = a.zipWithIndex.map { case (x, i) => if (i % 5 < 2) x else rnd.nextLong() % 1000 }
+      (a.toSeq, b.toSeq)
+    }
+    val df = rows.toDF("a", "b")
+    val hof = F.aggregate(
+      F.zip_with($"a", $"b", (x, y) => F.when(x === y, 1).otherwise(0)),
+      F.lit(0), (acc, x) => acc + x).cast("double") / F.size($"a")
+    val out = df.select(functions.estJaccard($"a", $"b").as("native"), hof.as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, h) => n shouldBe h +- 1e-12 }
+    // the whole point of the native form: it must stay inside codegen
+    // (repartition first — a pure LocalTableScan constant-folds the
+    // projection at the driver and shows no codegen span either way; run
+    // the query so AQE finalizes before inspecting the executed plan)
+    val q = df.repartition(2).select(functions.estJaccard($"a", $"b"))
+    q.collect()
+    q.queryExecution.executedPlan.toString should include("*(")
+    // defensive semantics on a length mismatch: count over the overlap,
+    // divide by the LEFT length (zip_with padded the tail with null=unequal)
+    Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(functions.estJaccard($"a", $"b"))
+      .as[Double].head() shouldBe 0.5 +- 1e-12
+  }
+
   test("rollingFingerprint: deterministic, order-sensitive, empty -> 0") {
     val out = Seq("abc", "acb", "abc", "").toDF("s")
       .select($"s", functions.rollingFingerprint($"s") as "fp")
