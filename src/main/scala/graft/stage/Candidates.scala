@@ -443,25 +443,19 @@ object Candidates {
       saltChunk: Int = 64,
       maxSaltedBucket: Int = 4096,
       scratch: Scratch = Scratch.noop): DataFrame = {
-    // one tight Scala pass per row, NOT transform()+struct() columns: higher-
-    // order-function lambdas run in the expression interpreter per element
-    // (graft perf note — the round-2 profile's hottest stage was exactly
-    // such a band-key HOF), and this explode emits bands+4 rows per item
-    val keys = udf { (bands: Seq[Long], sh: Long) =>
-      val out = new Array[(Long, Int)](bands.length + 4)
-      var i = 0
-      while (i < bands.length) { out(i) = (bands(i), 0); i += 1 }
-      var c = 0
-      while (c < 4) {
-        out(bands.length + c) = (((sh >>> (15 * c)) & 0x7fffL) + (c.toLong << 15), 1)
-        c += 1
-      }
-      out
-    }
+    // one tight native pass per row (FusedKeysExpr), NOT transform()+
+    // struct() columns (HOF lambdas run in the expression interpreter per
+    // element — the round-2 profile's hottest stage was exactly such a
+    // band-key HOF) and not a tuple UDF (this explode emits bands+4 rows
+    // per corpus row, the flagship's largest fanout — the converter boxed
+    // the band array in and a Tuple2 per key out)
+    val fusedKeys = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.FusedKeysExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("band_hashes")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("simhash"))))
     val keyed = sigs
-      .select(col("item_id"), col("simhash").as("sh"),
-        explode(keys(col("band_hashes"), col("simhash"))).as("k"))
-      .select(col("k._1").as("bkey"), col("k._2").as("ktype"), col("item_id"), col("sh"))
+      .select(col("item_id"), col("simhash").as("sh"), explode(fusedKeys).as("k"))
+      .select(col("k.bkey").as("bkey"), col("k.ktype").as("ktype"), col("item_id"), col("sh"))
     taggedSelfPairs(keyed, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming, scratch)
   }
 }
