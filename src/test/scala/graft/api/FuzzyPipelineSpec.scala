@@ -418,6 +418,24 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     noException should be thrownBy p.dedupEdges().collect()
   }
 
+  test("a checkpoint-dir clusters() run leaves ZERO persisted RDD blocks behind") {
+    // every block source in ckpt-dir mode has a release path: stage tables
+    // are parquet (no blocks), branch matSer blocks free after the edges
+    // write, stage scratch frees after the branches, CC loop generations
+    // free in-loop and the survivors through the release hook. Net block
+    // count must return to baseline — the long-lived-driver invariant at
+    // 10^12 scale, and the regression pin for any future leak.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-blocks").toString
+    def stored() = spark.sparkContext.getRDDStorageInfo.length
+    val before = stored()
+    val p = FuzzyPipeline(spark, corpusDF(states), "clip_id", "transcript",
+      FuzzyConf(), Some(dir))
+    p.clusters().count() should be > 0L
+    var waited = 0 // unpersist is async
+    while (stored() > before && waited < 20) { Thread.sleep(250); waited += 1 }
+    stored() should be <= before
+  }
+
   test("an external candidatePairs() call racing the first dedupEdges() completes (no deadlock)") {
     // regression for the three-thread cycle: edgesMemo's lazy-val
     // initializer holds the instance monitor while blocking on its fuzzy
