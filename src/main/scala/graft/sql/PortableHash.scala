@@ -50,11 +50,21 @@ object PortableHash {
     * materializing the 32-char hex string and two substrings per gram
     * (a measured slice of the signature stage's GC at bench scale).
     */
-  @inline private def digest60(d: Array[Byte], off: Int): Long = {
+  @inline private[sql] def digest60(d: Array[Byte], off: Int): Long = {
     var v = 0L
     var i = off
     while (i < off + 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(off + 7) >> 4) & 0xfL)
+  }
+
+  /** The thread's reusable md5 instance, reset — for kernels that stream
+    * window bytes directly (SigBandsFromKeyExpr) without a String or byte
+    * array per gram.
+    */
+  private[sql] def md5Reset(): java.security.MessageDigest = {
+    val md = digestTL.get()
+    md.reset()
+    md
   }
 
   /** MinHash signature over the DISTINCT gram set + SimHash over the gram
@@ -85,7 +95,14 @@ object PortableHash {
       val md = digestTL.get()
       md.reset()
       val d = md.digest(utf8)
-      val h1full = digest60(d, 0)
+      addWords(digest60(d, 0), digest60(d, 8), distinct)
+    }
+
+    /** Fold one gram occurrence given its two pre-parsed 60-bit md5 words
+      * (the form the streaming kernel produces without any per-gram
+      * allocation).
+      */
+    def addWords(h1full: Long, h2full: Long, distinct: Boolean): Unit = {
       // simhash uses every occurrence (multiset weights)
       var b = 0
       while (b < 60) {
@@ -94,7 +111,7 @@ object PortableHash {
       }
       if (distinct) {
         val h1 = h1full % P
-        val h2 = digest60(d, 8) % P
+        val h2 = h2full % P
         var k = 0
         var hk = h1
         while (k < numHashes) {

@@ -67,6 +67,13 @@ object SigBandsExpr {
       state.add(g.getBytes, seen.add(g))
       i += 1
     }
+    pack(state, bands, rowsPerBand)
+  }
+
+  /** (sig, simhash, band_hashes) struct from a folded state — shared with
+    * [[SigBandsFromKeyExpr]].
+    */
+  private[sql] def pack(state: PortableHash.SigState, bands: Int, rowsPerBand: Int): GenericInternalRow = {
     val row = new GenericInternalRow(3)
     row.update(0, new GenericArrayData(state.sig))
     row.setLong(1, state.simhash)

@@ -68,6 +68,16 @@ object functions {
         org.apache.spark.sql.GraftColumnBridge.expression(gramsCol),
         numHashes, bands, rowsPerBand))
 
+  /** [[sigBands]] fused with the shingling itself — one streaming pass over
+    * the KEY, the gram array never materializes; NULL for gram-less keys.
+    * See [[SigBandsFromKeyExpr]].
+    */
+  def sigBandsFromKey(keyCol: Column, n: Int, numHashes: Int, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SigBandsFromKeyExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(keyCol),
+        n, numHashes, bands, rowsPerBand))
+
   /** The pure-built-in composition of the same kernel — kept for the
     * expression-parity tests and as documentation of the declarative form.
     */

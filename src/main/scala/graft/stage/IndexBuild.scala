@@ -97,21 +97,21 @@ object IndexBuild {
     val norms = mat("norms", sized
       .select(col("item_id"), col("gram_size"), magUdf(col("gc.cnt")).as("magnitude")))
 
-    // signatures + band tokens via one tight native pass per row
-    // (SigBandsExpr: grams hash straight from their UTF-8 bytes — the
-    // pure-expression sig form re-runs md5s per component, the band-key
-    // HOF composition interpreted at ~300us/row was round 2's hottest
-    // spot, and the Seq[String] UDF form made the stage ~85% GC);
-    // value-identical to the column expressions and the DuckDB oracle
-    // items whose normalized key is empty have no grams: no signature, no
-    // LSH (all-empty sigs would otherwise bucket together and pair up);
-    // byte-identical empties still dedup through the exact pass
-    val g = gf.shingles(col("key"), conf.gramHi)
+    // signatures + band tokens via ONE streaming native pass per row
+    // (SigBandsFromKeyExpr: normalize -> window -> md5 fused, the gram
+    // array never materializes — the pure-expression sig form re-ran md5s
+    // per component, the band-key HOF composition interpreted at
+    // ~300us/row was round 2's hottest spot, and the UDF/ShinglesExpr
+    // forms allocated per gram occurrence); value-identical to the column
+    // expressions and the DuckDB oracle (FunctionsSpec parity).
+    // NULL ss = the key has no grams (empty normalized text): no
+    // signature, no LSH (all-empty sigs would otherwise bucket together
+    // and pair up); byte-identical empties still dedup via the exact pass
     val sigs = mat("sigs", items
-      .select(col("item_id"), g.as("g"))
-      .filter(size(col("g")) > 0)
       .select(col("item_id"),
-        gf.sigBands(col("g"), conf.minhashHashes, conf.minhashBands, conf.rowsPerBand).as("ss"))
+        gf.sigBandsFromKey(col("key"), conf.gramHi,
+          conf.minhashHashes, conf.minhashBands, conf.rowsPerBand).as("ss"))
+      .filter(col("ss").isNotNull)
       .select(col("item_id"), col("ss.sig").as("sig"), col("ss.simhash").as("simhash"),
         col("ss.band_hashes").as("band_hashes")))
 

@@ -150,6 +150,38 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     q.queryExecution.executedPlan.toString should include("*(")
   }
 
+  test("sigBandsFromKey (fused kernel) == sigBands(shingles(key)) on every key shape") {
+    val keys = Seq(
+      "alpha beta gamma", // plain ascii
+      "Alpha, BETA gamma!", // normalization (case, punct drop, comma kept)
+      "aaaaaaaa", // heavy repeats (distinct-set vs multiset split)
+      "déjà vu naïve café", // 2-byte UTF-8 (per-window substring path)
+      "中文字 mixed 字符", // 3-byte UTF-8
+      "ab", // exactly one gram at n=3 after '-ab-' enclosure? (len 4 >= 3)
+      "", // empty -> no grams -> NULL
+      "!!!", // normalizes to empty -> '-'||''||'-' is len 2 < 3 -> NULL
+      "x😀y" // astral char: UTF-16 windows may split the surrogate pair
+    )
+    val df = keys.zipWithIndex.map { case (k, i) => (i, k) }.toDF("i", "key").repartition(2)
+    val fused = df.select($"i",
+      functions.sigBandsFromKey($"key", 3, 16, 4, 3).as("ss"))
+    fused.collect() // finalize AQE before inspecting the plan
+    val viaGrams = df.select($"i", functions.shingles($"key", 3).as("g"))
+      .filter(org.apache.spark.sql.functions.size($"g") > 0)
+      .select($"i", functions.sigBands($"g", 16, 4, 3).as("ss"))
+    def rows(q: org.apache.spark.sql.DataFrame) = q
+      .filter($"ss".isNotNull)
+      .select($"i", $"ss.sig", $"ss.simhash", $"ss.band_hashes")
+      .as[(Int, Seq[Long], Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val f = rows(fused)
+    f shouldBe rows(viaGrams)
+    // the two gram-less keys ("" and "!!!") are NULL in fused and filtered
+    // by size() in the reference composition — same surviving id set
+    f.map(_._1) shouldBe keys.indices.filterNot(i => keys(i) == "" || keys(i) == "!!!")
+    // and the fused kernel stays inside whole-stage codegen
+    fused.queryExecution.executedPlan.toString should include("*(")
+  }
+
   test("estJaccard (native expr) matches the HOF column formula it replaced") {
     import org.apache.spark.sql.{functions => F}
     val rnd = new scala.util.Random(7)
