@@ -230,6 +230,18 @@ final case class FuzzyPipeline(
     * verified by the pair-restricted reference scoring kernel (score >=
     * conf.minScore), and substring-containment edges (score = length
     * ratio >= conf.substringMinRatio).
+    *
+    * Semantic boundary vs full reference fidelity: at the default
+    * minScore 0.33 the reference's own match graph PERCOLATES on corpora
+    * with coincidental borderline pairs — random transcripts sharing one
+    * vocabulary word already reach levNormSim ≈ 0.34 and chain
+    * transitively — so this scale path intentionally does NOT emit those
+    * edges: every edge it misses vs [[dedupEdgesExhaustive]] has estimated
+    * gram-Jaccard below the LSH design threshold (S-curve midpoint ~0.6 at
+    * b=21/r=6). At minScore ≥ 0.5, above the coincidental band, the two
+    * paths' cluster labels agree ≥ 0.999 (measured 1.0). Both invariants
+    * are pinned by MidScaleAgreementSpec; planted-pair recall is 1.0 at
+    * every measured scale. See BASELINE.md "Scale-boundary finding".
     */
   def dedupEdges(): DataFrame = edgesMemo
   private lazy val edgesMemo: DataFrame = {
@@ -315,6 +327,13 @@ final case class FuzzyPipeline(
 
   /** (clip_id, component): every source row labeled with the min clip_id of
     * its duplicate cluster; singleton rows keep their own id.
+    *
+    * Labels inherit [[dedupEdges]]'s semantic boundary: at the default
+    * minScore 0.33 they intentionally diverge from [[clustersExhaustive]]
+    * on corpora with coincidental one-shared-word borderline matches (the
+    * reference's match graph percolates there — whole-corpus agreement
+    * 0.857 at 20k clips); at minScore ≥ 0.5 agreement is ≥ 0.999 and every
+    * missed edge is sub-LSH-threshold (MidScaleAgreementSpec pins both).
     */
   def clusters(): DataFrame = clustersFrom(() => dedupEdges(), "clusters")
 

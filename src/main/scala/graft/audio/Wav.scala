@@ -101,6 +101,11 @@ object Wav {
     while (buf.remaining() >= 8 && (srHz < 0 || samples == null)) {
       val id = new Array[Byte](4); buf.get(id)
       val size = buf.getInt()
+      // A corrupted header with a negative size would make `next` land at or
+      // before this chunk's start and the walk would re-read the same bytes
+      // forever; require forward progress so corruption surfaces as a decode
+      // failure (pcm_ok=false / snr_db=null upstream), not a hung task.
+      require(size >= 0, s"corrupt WAV chunk size $size")
       // RIFF pads odd-sized chunks to 2-byte alignment: the next chunk id
       // starts at size + (size & 1), not size — skipping the pad is what
       // keeps the walk aligned on in-the-wild files with odd LIST/INFO

@@ -92,6 +92,20 @@ object Ann {
     // restarted context (tests) never reuses a dead context's broadcast;
     // the map stays bounded by the distinct (context, band, planes, dim)
     // configurations actually used.
+    // evict entries left behind by stopped contexts (a driver that cycles
+    // sessions in one JVM — long test suites, notebooks — would otherwise
+    // accumulate dead Broadcast handles and their plane arrays forever)
+    val it = planeBcCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 != sc.startTime) {
+        val stale = planeBcCache.remove(k)
+        if (stale != null) {
+          try stale.destroy()
+          catch { case scala.util.control.NonFatal(_) => () } // context already gone
+        }
+      }
+    }
     val bc = planeBcCache.computeIfAbsent(
       (sc.startTime, band, planes, dim),
       _ => sc.broadcast(Array.tabulate(planes, dim)((p, d) => planeEntry(band * planes + p, d))))

@@ -54,8 +54,13 @@ object SigBandsExpr {
     StructField("simhash", LongType, nullable = false),
     StructField("band_hashes", ArrayType(LongType, containsNull = false), nullable = false)))
 
-  /** Static entry point shared by interpreted eval and generated code. */
-  def compute(grams: ArrayData, numHashes: Int, bands: Int, rowsPerBand: Int): Any = {
+  /** Static entry point shared by interpreted eval and generated code.
+    * Declared InternalRow (not Any/Object): defineCodeGen assigns the call
+    * result to an InternalRow-typed variable and Janino has no implicit
+    * Object→InternalRow conversion — an Any return type made the generated
+    * class fail to compile and silently fell back to interpreted eval.
+    */
+  def compute(grams: ArrayData, numHashes: Int, bands: Int, rowsPerBand: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val n = grams.numElements()
     val state = new PortableHash.SigState(numHashes)
     // minhash needs first-occurrence detection over the multiset; dedup on

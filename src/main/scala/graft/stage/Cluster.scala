@@ -46,6 +46,14 @@ object Cluster {
   /** [[connectedComponents]] plus the number of label-propagation
     * iterations run — the O(log d) pointer-jumping claim is pinned by
     * ClusterSpec on a depth-10^4 chain graph.
+    *
+    * NOTE: the non-releasable overloads (this and [[connectedComponents]])
+    * discard the release hook, so the loop's surviving checkpoint blocks —
+    * the final label generation AND the contracted-pair labels, both
+    * endpoint-sized — stay pinned until the SparkContext ends. They are
+    * test/validation conveniences; production callers (FuzzyPipeline) use
+    * [[connectedComponentsReleasable]] and invoke the hook after durably
+    * materializing the result.
     */
   def connectedComponentsWithStats(
       vertices: DataFrame,

@@ -66,6 +66,20 @@ class WavSpec extends AnyFunSuite with Matchers {
     sr shouldBe 8000
     back shouldBe samples
   }
+
+  test("chunk walk throws (not hangs) on a negative chunk size") {
+    // a corrupted header whose size field is negative would make `next`
+    // land at or before the chunk start — the walk must fail fast so the
+    // invariant checker surfaces pcm_ok=false instead of spinning forever
+    val samples = Wav.synthSamples(3, 8000, 100, noiseSeed = 7L)
+    val bytes = Wav.toWav(samples, 8000)
+    val corrupt = bytes.clone()
+    // fmt chunk's size field sits at offset 16 in the canonical layout
+    java.nio.ByteBuffer.wrap(corrupt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8)
+    val ex = intercept[IllegalArgumentException](Wav.fromWav(corrupt))
+    ex.getMessage should include("corrupt WAV chunk size")
+  }
 }
 
 class InvariantSpec extends AnyFunSuite with Matchers {
