@@ -289,6 +289,38 @@ object Queries {
       """select min(doc_id) as item_id, count(*)::BIGINT as n_members
         |from documents group by lower(text) order by item_id""".stripMargin),
 
+    // K12/S13 — the incremental-add seam (TableIO.upsert = the iceberg
+    // MERGE's parquet twin): two deterministic batches (even doc_ids, then
+    // doc_ids divisible by 3) upserted into a fresh stage table; the result
+    // is the table state, which must show first-writer-wins per key BOTH
+    // across batches (a key present in batch 1 keeps its batch-1 winner
+    // even when batch 2 carries a smaller doc_id) and within a batch (min
+    // full row). The oracle is a full outer join preferring batch 1 — NOT
+    // min over the union, which would let a later writer steal a key.
+    ("q_upsert",
+      (s, dir) => {
+        val target = java.nio.file.Files
+          .createTempDirectory("graft_q_upsert_")
+          .resolve("items")
+          .toString
+        def batch(filter: org.apache.spark.sql.Column) = docs(s, dir)
+          .filter(filter)
+          .select(col("doc_id"), lower(col("text")).as("key"))
+        graft.io.TableIO.upsert(s, target, batch(col("doc_id") % 2 === 0), "key")
+        graft.io.TableIO.upsert(s, target, batch(col("doc_id") % 3 === 0), "key")
+        s.read.parquet(target)
+          .select(col("key"), col("doc_id").as("winner_id"))
+          .orderBy("key")
+      },
+      """with b1 as (select lower(text) as key, min(doc_id) as winner_id
+        |            from documents where doc_id % 2 = 0 group by 1),
+        |     b2 as (select lower(text) as key, min(doc_id) as winner_id
+        |            from documents where doc_id % 3 = 0 group by 1)
+        |select coalesce(b1.key, b2.key) as key,
+        |       coalesce(b1.winner_id, b2.winner_id) as winner_id
+        |from b1 full outer join b2 on b1.key = b2.key
+        |order by key""".stripMargin),
+
     // Exact substring-containment pass (north rule's suffix-array pass),
     // both length regimes: the raw corpus carries genuine long-regime
     // containments (planted near-dup docs); deterministic 9/14-char prefix

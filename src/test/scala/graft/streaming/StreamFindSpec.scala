@@ -52,4 +52,37 @@ class StreamFindSpec extends AnyFunSuite with Matchers {
       batchId = 0L, idx, 0.33, outDir)
     spark.read.parquet(outDir).count() shouldBe before
   }
+
+  test("ingestStream: restart from checkpoint does not duplicate ingested rows") {
+    // round-4 verdict item 7: findStream's idempotent batch write is pinned
+    // above; this pins ingestStream's exactly-once — the file sink's
+    // _spark_metadata commit log plus the source checkpoint must make a
+    // stop/restart cycle re-ingest NOTHING already committed while still
+    // picking up input that arrived in between
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("ingest-src").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("ingest-table").toString + "/clips"
+    val ckDir = java.nio.file.Files.createTempDirectory("ingest-ck").toString
+    val schema = StructType(Seq(
+      StructField("clip_id", StringType), StructField("transcript", StringType)))
+    def source() = spark.readStream.schema(schema).parquet(srcDir)
+
+    Seq(("c000", "Jurassic Park"), ("c001", "Terminator"))
+      .toDF("clip_id", "transcript").write.mode("append").parquet(srcDir)
+    val q1 = StreamFind.ingestStream(source(), tableDir, ckDir)
+    q1.processAllAvailable()
+    q1.stop()
+    spark.read.parquet(tableDir).count() shouldBe 2
+
+    // new input lands while the stream is down; restart from the SAME
+    // checkpoint — the already-committed batch must not replay
+    Seq(("c002", "The Matrix")).toDF("clip_id", "transcript")
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamFind.ingestStream(source(), tableDir, ckDir)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(tableDir).select("clip_id").as[String].collect().sorted
+    ids shouldBe Array("c000", "c001", "c002")
+  }
 }
