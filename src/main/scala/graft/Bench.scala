@@ -69,6 +69,16 @@ object Bench {
     // fill its stage-boundary bubbles. Unconfigured pools get default
     // weight 1 / minShare 0, which is exactly the even split wanted here.
     if (flagship) b.config("spark.scheduler.mode", "FAIR")
+    // dev seam for flagship config A/Bs without recompiling (a mid-A/B
+    // recompile taints the comparison): SPARK_GRAFT_CONF_EXTRA is a
+    // semicolon-separated k=v list applied to flagship sessions only;
+    // empty in normal runs
+    if (flagship) sys.env.get("SPARK_GRAFT_CONF_EXTRA").foreach {
+      _.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
