@@ -264,6 +264,14 @@ object Bench {
     def runPair(doRecall: Boolean): Unit = {
       windows += windowProbe(coresN, cores4N)
       for (cores <- Seq(coresN, cores4N)) {
+        // collect the PREVIOUS session's garbage before timing starts: all
+        // phases share one fixed 48 GiB heap, and with a throughput
+        // collector the prior phase's dead blocks/rows otherwise get
+        // collected DURING the next rep's first allocations — runs A/B of
+        // round 5 showed a systematic 2-4x first-rep penalty at each width
+        // even after the full-size warmup, exactly the shape of inherited
+        // heap debt (reps 2+ run on the compacted heap and are fast)
+        System.gc()
         val s = session(cores, flagship = true)
         val ((pass, nRows, clusters), secs) = timed(flagship(s, nClips))
         if (cores == coresN) { passN = pass; runsN += secs }
