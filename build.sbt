@@ -28,9 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs 32 concurrent tasks in one JVM; sort/agg buffers at
   // bench scale need real heap (the box has 128 GiB). Fixed Xms avoids
-  // heap-resize pauses mid-bench.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // heap-resize pauses mid-bench. 96g (round 5): the 1.6M-clip flagship
+  // needs it to keep the N-side per-clip throughput flat vs 400k — at 48g
+  // the narrow session's GC halves it and taints the scaling ratio (the
+  // round-2 600k artifact). Xms without AlwaysPreTouch only reserves, so
+  // small runs don't pay RSS for it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "96g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "96g")}",
   // Throughput collector: G1 treats Spark's task-sized sort/serialization
   // buffers (> half its 16 MB region at this heap) as humongous objects;
   // 32 concurrent tasks allocating them trigger humongous-allocation
