@@ -139,6 +139,20 @@ final case class FuzzyPipeline(
   def size: Long = index.items.count()
   def isEmpty: Boolean = index.items.isEmpty
 
+  /** Per-stage lineage metrics of every stage checkpointed so far — one
+    * row per (stage, written file) from the `_graft_meta.json` sidecars
+    * (row counts, write wall, conf hash; see [[graft.io.TableIO.stageMetrics]]).
+    * This is the read side of the north rule's "per-partition lineage +
+    * metrics": an operator resuming a 10^12-row run inspects which stages
+    * are complete, their sizes, and their write-time partition balance
+    * without touching the data files. Requires [[checkpointDir]].
+    */
+  def stageMetrics(): DataFrame = checkpointDir match {
+    case Some(dir) => TableIO.stageMetrics(spark, dir)
+    case None => throw new IllegalStateException(
+      "stageMetrics() requires a pipeline built with a checkpointDir")
+  }
+
   // ---- dedup pipeline (the scale generalization) -------------------------
 
   /** Materialize independent pipeline branches as CONCURRENT Spark jobs

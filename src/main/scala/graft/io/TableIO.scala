@@ -156,6 +156,54 @@ object TableIO {
 
   private def metaPath(dir: String) = Paths.get(dir, "_graft_meta.json")
 
+  /** Read side of the lineage sidecars: one row per (stage, written file)
+    * across every stage directory under `checkpointDir`, as a queryable
+    * DataFrame — the monitoring half of the north rule's "per-partition
+    * lineage + metrics" (SURVEY.md §1.2). Columns: stage, status,
+    * conf_hash, rows (stage total), write_secs, format, file, file_rows
+    * (file <-> write-task partition). Driver-side file reads are correct
+    * here — one tiny JSON sidecar per stage, metadata not data. Parquet
+    * mode only: iceberg mode exposes the same through the catalog's
+    * `<table>.files` / `<table>.snapshots` metadata tables (see
+    * [[checkpointIceberg]]), so no sidecars exist to read.
+    */
+  def stageMetrics(spark: SparkSession, checkpointDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, explode}
+    import org.apache.spark.sql.types._
+    val root = Paths.get(checkpointDir)
+    val sidecars: Seq[String] =
+      if (!Files.isDirectory(root)) Seq.empty
+      else {
+        val s = Files.list(root)
+        try s.iterator().asScala.toSeq
+          .filter(Files.isDirectory(_))
+          .map(d => d.resolve("_graft_meta.json"))
+          .filter(Files.exists(_))
+          .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+        finally s.close()
+      }
+    val schema = StructType(Seq(
+      StructField("stage", StringType), StructField("status", StringType),
+      StructField("conf_hash", StringType), StructField("rows", LongType),
+      StructField("write_secs", DoubleType), StructField("format", StringType),
+      StructField("file", StringType), StructField("file_rows", LongType)))
+    if (sidecars.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      import spark.implicits._
+      spark.read.json(spark.createDataset(sidecars))
+        .select(
+          col("stage"), col("status"), col("conf_hash"), col("rows"),
+          col("write_secs"), col("format"), explode(col("partitions")).as("p"))
+        .select(
+          col("stage"), col("status"), col("conf_hash"),
+          col("rows").cast("long").as("rows"),
+          col("write_secs").cast("double").as("write_secs"), col("format"),
+          col("p.file").as("file"), col("p.rows").cast("long").as("file_rows"))
+    }
+  }
+
   def isFresh(dir: String, cfgHash: String): Boolean = {
     val p = metaPath(dir)
     Files.exists(p) && {

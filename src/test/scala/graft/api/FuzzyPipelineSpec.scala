@@ -297,6 +297,32 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     java.nio.file.Files.getLastModifiedTime(meta) should not be mtime1
   }
 
+  test("stageMetrics surfaces per-stage, per-file lineage from the sidecars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
+    val corpus = Seq("alpha beta gamma", "alpha beta gamma", "alpha beta gamm", "other thing")
+    val p = FuzzyPipeline(spark, corpusDF(corpus), "clip_id", "transcript",
+      FuzzyConf(), Some(dir))
+    p.clusters().count()
+    val m = p.stageMetrics()
+    m.columns.toSeq shouldBe Seq(
+      "stage", "status", "conf_hash", "rows", "write_secs", "format", "file", "file_rows")
+    val byStage = m.groupBy("stage")
+      .agg(org.apache.spark.sql.functions.sum("file_rows").as("fsum"),
+        org.apache.spark.sql.functions.first("rows").as("rows"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // every checkpointed stage is present and its per-file lineage sums to
+    // its recorded total — the invariant an operator resumes against
+    byStage.keySet should contain allOf ("items", "edges", "clusters")
+    byStage.foreach { case (stage, (fileSum, total)) =>
+      withClue(s"stage $stage: ") { fileSum shouldBe total }
+    }
+    byStage("items")._2 shouldBe 3 // 4 rows, 1 exact-dup key collapsed
+    m.select("status").distinct().as[String].collect() shouldBe Array("complete")
+    // a pipeline without a checkpointDir has no lineage to read
+    val bare = pipeline(Seq("alpha"))
+    an[IllegalStateException] should be thrownBy bare.stageMetrics()
+  }
+
   test("signature-Jaccard verify gate (>= 0.3) never drops a planted near-dup pair") {
     import graft.audio.ClipSynth
     import graft.sql.{functions => gf}
