@@ -89,6 +89,30 @@ object Queries {
           .orderBy("doc_id"),
       s"select doc_id, $sqlNorm as norm_text from documents order by doc_id"),
 
+    // The SQL surface (graft.sql.GraftExtensions): the same kernels reached
+    // through spark.sql + registered graft_* functions instead of the
+    // Column API — pins that a SQL-only caller (Connect/Thrift/notebook)
+    // computes exactly what the Scala API computes, against the same
+    // DuckDB oracle forms the Column-API queries use. ASCII-corpus parity
+    // assumptions match q_normalize's.
+    ("q_sql_surface",
+      (s, dir) => {
+        graft.sql.GraftExtensions.register(s)
+        docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+        s.sql(
+          """SELECT doc_id,
+            |       concat('-', graft_norm_text(text), '-') AS norm_text,
+            |       size(graft_shingles(text, 3)) AS n_grams3,
+            |       graft_lev_norm_sim(text, lower(text)) AS case_sim
+            |FROM graft_sql_docs ORDER BY doc_id""".stripMargin)
+      },
+      s"""select doc_id, $sqlNorm as norm_text,
+         |  (length($sqlNorm) - 2)::INTEGER as n_grams3,
+         |  case when length(text) = 0 then 1.0
+         |       else 1.0 - levenshtein(text, lower(text))::DOUBLE / length(text)
+         |  end as case_sim
+         |from documents order by doc_id""".stripMargin),
+
     // K3/K4 — positional n-gram extraction (Internal.hs:191-197)
     ("q_grams3",
       (s, dir) =>

@@ -32,11 +32,11 @@ object functions {
     * plus category Zs ONLY — GHC does not treat Zl/Zp U+2028/U+2029 as
     * space, so they are dropped) and ','.
     */
+  private[sql] val NormDropRegex =
+    "[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}\\t\\n\\x0B\\f\\r\\p{Zs},]"
+
   def normText(c: Column): Column =
-    F.regexp_replace(
-      F.lower(c),
-      "[^\\p{L}\\p{Nd}\\p{Nl}\\p{No}\\t\\n\\x0B\\f\\r\\p{Zs},]",
-      "")
+    F.regexp_replace(F.lower(c), NormDropRegex, "")
 
   /** `enclosedIn '-'` (Utils.hs:26-27). */
   def enclosed(c: Column): Column = F.concat(F.lit("-"), c, F.lit("-"))

@@ -12,6 +12,18 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Register a SQL function builder on an ALREADY-BUILT session (the
+    * `SparkSessionExtensions` path only runs at session construction).
+    * `sessionState` is private[sql], hence the bridge.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
+
   /** The block-backed RDD behind a localCheckpoint'ed Dataset (its analyzed
     * plan is a LogicalRDD). Dataset.unpersist only reaches CacheManager
     * entries, so freeing a superseded checkpoint generation (e.g. iterative
