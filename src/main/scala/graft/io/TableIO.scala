@@ -169,7 +169,7 @@ object TableIO {
     */
   def stageMetrics(spark: SparkSession, checkpointDir: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.functions.{col, explode}
+    import org.apache.spark.sql.functions.{col, explode_outer}
     import org.apache.spark.sql.types._
     val root = Paths.get(checkpointDir)
     val sidecars: Seq[String] =
@@ -192,15 +192,24 @@ object TableIO {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       import spark.implicits._
-      spark.read.json(spark.createDataset(sidecars))
+      // explicit schema, not inference: a run whose every stage wrote zero
+      // data files would leave nothing to infer the `partitions` element
+      // type from; and explode_OUTER so such a stage still surfaces as one
+      // row with a null file instead of vanishing from the report
+      val sidecarSchema = StructType(Seq(
+        StructField("stage", StringType), StructField("status", StringType),
+        StructField("conf_hash", StringType), StructField("rows", LongType),
+        StructField("write_secs", DoubleType), StructField("format", StringType),
+        StructField("partitions", ArrayType(StructType(Seq(
+          StructField("file", StringType), StructField("rows", LongType)))))))
+      spark.read.schema(sidecarSchema).json(spark.createDataset(sidecars))
         .select(
           col("stage"), col("status"), col("conf_hash"), col("rows"),
-          col("write_secs"), col("format"), explode(col("partitions")).as("p"))
+          col("write_secs"), col("format"), explode_outer(col("partitions")).as("p"))
         .select(
-          col("stage"), col("status"), col("conf_hash"),
-          col("rows").cast("long").as("rows"),
-          col("write_secs").cast("double").as("write_secs"), col("format"),
-          col("p.file").as("file"), col("p.rows").cast("long").as("file_rows"))
+          col("stage"), col("status"), col("conf_hash"), col("rows"),
+          col("write_secs"), col("format"),
+          col("p.file").as("file"), col("p.rows").as("file_rows"))
     }
   }
 

@@ -108,4 +108,22 @@ class TableIOSpec extends AnyFunSuite with Matchers {
     JF.exists(JP.get(dir + "._merge_old")) shouldBe false
     JF.exists(JP.get(dir + "._merge_tmp")) shouldBe false
   }
+
+  test("stageMetrics keeps a zero-file stage visible and is empty-safe") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val ck = JF.createTempDirectory("graft_metrics_edge").toString
+    // no sidecars at all -> empty frame with the documented schema
+    TableIO.stageMetrics(spark, ck).count() shouldBe 0L
+    TableIO.stageMetrics(spark, ck).columns.toSeq shouldBe Seq(
+      "stage", "status", "conf_hash", "rows", "write_secs", "format", "file", "file_rows")
+    // a stage whose table wrote ZERO data files (empty result) has
+    // "partitions":[] — it must surface as one null-file row, not vanish
+    JF.createDirectories(JP.get(ck, "empty_stage"))
+    JF.write(JP.get(ck, "empty_stage", "_graft_meta.json"),
+      ("""{"stage":"empty_stage","status":"complete","conf_hash":"h","rows":0,""" +
+        """"write_secs":0.1,"format":"parquet","partitions":[]}""").getBytes("UTF-8"))
+    val rows = TableIO.stageMetrics(spark, ck)
+      .select("stage", "rows", "file").as[(String, Long, Option[String])].collect().toSeq
+    rows shouldBe Seq(("empty_stage", 0L, None))
+  }
 }
