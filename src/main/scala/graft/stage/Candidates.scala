@@ -443,19 +443,84 @@ object Candidates {
       saltChunk: Int = 64,
       maxSaltedBucket: Int = 4096,
       scratch: Scratch = Scratch.noop): DataFrame = {
-    // one tight native pass per row (FusedKeysExpr), NOT transform()+
-    // struct() columns (HOF lambdas run in the expression interpreter per
-    // element — the round-2 profile's hottest stage was exactly such a
-    // band-key HOF) and not a tuple UDF (this explode emits bands+4 rows
-    // per corpus row, the flagship's largest fanout — the converter boxed
-    // the band array in and a Tuple2 per key out)
+    taggedSelfPairs(fusedKeyed(sigs), maxBandBucket, saltChunk, maxSaltedBucket, maxHamming, scratch)
+  }
+
+  /** The fused (bkey, ktype, item_id, sh) key table of a sigs table — LSH
+    * band tokens (ktype 0) + SimHash chunk keys (ktype 1) in one explode.
+    * One tight native pass per row (FusedKeysExpr), NOT transform()+
+    * struct() columns (HOF lambdas run in the expression interpreter per
+    * element — the round-2 profile's hottest stage was exactly such a
+    * band-key HOF) and not a tuple UDF (this explode emits bands+4 rows
+    * per corpus row, the flagship's largest fanout — the converter boxed
+    * the band array in and a Tuple2 per key out).
+    */
+  private def fusedKeyed(sigs: DataFrame): DataFrame = {
     val fusedKeys = org.apache.spark.sql.GraftColumnBridge.column(
       graft.sql.FusedKeysExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(col("band_hashes")),
         org.apache.spark.sql.GraftColumnBridge.expression(col("simhash"))))
-    val keyed = sigs
+    sigs
       .select(col("item_id"), col("simhash").as("sh"), explode(fusedKeys).as("k"))
       .select(col("k.bkey").as("bkey"), col("k.ktype").as("ktype"), col("item_id"), col("sh"))
-    taggedSelfPairs(keyed, maxBandBucket, saltChunk, maxSaltedBucket, maxHamming, scratch)
+  }
+
+  /** Unordered candidate pairs TOUCHING the `newSigs` side: each new
+    * item's fused keys (LSH bands + SimHash chunks) probe the FULL corpus
+    * key table — the incremental form of [[fusedPairs]] for streaming
+    * ingestion, where per-batch work must be O(batch x bucket), not
+    * O(corpus). `newSigs` must be a subset of `allSigs` (state is upserted
+    * before pair generation), so new-vs-new pairs are produced too; the
+    * union over batches of these pair sets covers every pair [[fusedPairs]]
+    * would emit — a pair (a, b) is generated at the batch that added its
+    * later endpoint, when the earlier one is already in `allSigs`.
+    *
+    * Skew: the probe side is per-member, so fanout is LINEAR in bucket
+    * size (the self-join's quadratic salted middle regime has no
+    * equivalent here). Buckets <= maxBucket join directly (<= maxBucket
+    * partners per probe row); beyond that the probe pairs with the bucket
+    * MINIMUM only — the same STAR spanning structure the batch flood
+    * regime emits. The star stays connected across batches: every member
+    * paired with the bucket min AS OF ITS ARRIVAL, which is itself such a
+    * member, so the chain reaches the current min inductively.
+    */
+  def incrementalPairs(
+      newSigs: DataFrame,
+      allSigs: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    val probe = fusedKeyed(newSigs)
+    val all = fusedKeyed(allSigs)
+    val sizes = all
+      .groupBy("bkey", "ktype")
+      .agg(
+        count(lit(1)).as("bucket_n"),
+        min("item_id").as("min_id"),
+        min_by(col("sh"), col("item_id")).as("min_sh"))
+    val withN = probe.join(sizes, Seq("bkey", "ktype")) // inner: every probe key has >= itself
+    // hamming gate (symmetric) runs inside each branch, before the distinct
+    def keep(aSh: org.apache.spark.sql.Column, bSh: org.apache.spark.sql.Column) =
+      (col("ktype") =!= 1) || bit_count(aSh.bitwiseXOR(bSh)) <= maxHamming
+
+    val direct = withN
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("bkey"), col("ktype"), col("item_id").as("x_id"), col("sh").as("x_sh"))
+      .join(
+        all.select(col("bkey"), col("ktype"), col("item_id").as("y_id"), col("sh").as("y_sh")),
+        Seq("bkey", "ktype"))
+      .filter(col("x_id") =!= col("y_id") && keep(col("x_sh"), col("y_sh")))
+      .select(
+        least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+
+    val star = withN
+      .filter(
+        col("bucket_n") > maxBucket && col("item_id") =!= col("min_id") &&
+          keep(col("sh"), col("min_sh")))
+      .select(
+        least(col("item_id"), col("min_id")).as("a_id"),
+        greatest(col("item_id"), col("min_id")).as("b_id"))
+
+    direct.unionByName(star).distinct()
   }
 }

@@ -70,50 +70,11 @@ object IndexBuild {
       .join(items.select("key", "item_id"), Seq("key"))
       .select("clip_id", "item_id"))
 
-    // one scan, both gram sizes, NO SHUFFLE: gram counts are local to each
-    // row (GramCountsExpr scaladoc — the naive explode+groupBy build would
-    // shuffle |corpus| x |grams| rows to recount what each row knows), so
-    // postings and magnitudes are pure map-side projections of items
-    val sized = items
-      .select(
-        col("item_id"),
-        explode(array(conf.sizes.map(n =>
-          struct(lit(n).as("gram_size"), gf.gramCounts(col("key"), n).as("gc"))): _*)).as("sg"))
-      .select(col("item_id"), col("sg.gram_size").as("gram_size"), col("sg.gc").as("gc"))
+    val (postingsPlan, normsPlan) = gramProjections(items, conf)
+    val postings = mat("postings", postingsPlan)
+    val norms = mat("norms", normsPlan)
 
-    val postings = mat("postings", sized
-      .select(col("item_id"), col("gram_size"), explode(col("gc")).as("e"))
-      .select(col("item_id"), col("gram_size"), col("e.gram").as("gram"), col("e.cnt").as("cnt")))
-
-    // integer sum of squares in one pass, sqrt at the end: the aggregate()
-    // HOF form runs in the expression interpreter per element (graft perf
-    // note) and this executes once per (item, gram_size) over ~|key| counts
-    val magUdf = udf { (cnts: Seq[Int]) =>
-      var acc = 0L
-      var i = 0
-      while (i < cnts.length) { val c = cnts(i).toLong; acc += c * c; i += 1 }
-      math.sqrt(acc.toDouble)
-    }
-    val norms = mat("norms", sized
-      .select(col("item_id"), col("gram_size"), magUdf(col("gc.cnt")).as("magnitude")))
-
-    // signatures + band tokens via ONE streaming native pass per row
-    // (SigBandsFromKeyExpr: normalize -> window -> md5 fused, the gram
-    // array never materializes — the pure-expression sig form re-ran md5s
-    // per component, the band-key HOF composition interpreted at
-    // ~300us/row was round 2's hottest spot, and the UDF/ShinglesExpr
-    // forms allocated per gram occurrence); value-identical to the column
-    // expressions and the DuckDB oracle (FunctionsSpec parity).
-    // NULL ss = the key has no grams (empty normalized text): no
-    // signature, no LSH (all-empty sigs would otherwise bucket together
-    // and pair up); byte-identical empties still dedup via the exact pass
-    val sigs = mat("sigs", items
-      .select(col("item_id"),
-        gf.sigBandsFromKey(col("key"), conf.gramHi,
-          conf.minhashHashes, conf.minhashBands, conf.rowsPerBand).as("ss"))
-      .filter(col("ss").isNotNull)
-      .select(col("item_id"), col("ss.sig").as("sig"), col("ss.simhash").as("simhash"),
-        col("ss.band_hashes").as("band_hashes")))
+    val sigs = mat("sigs", signatures(items, conf))
 
     // band tokens shuffle as 8-byte longs (mixed from the band's signature
     // rows), not ~50-char strings: the LSH self-join shuffles |corpus| x
@@ -125,4 +86,59 @@ object IndexBuild {
 
     IndexTables(conf, items, members, postings, norms, sigs, bands)
   }
+
+  /** Postings + norms as pure map-side projections of an `items` table
+    * (item_id, key, ...): one scan, both gram sizes, NO SHUFFLE — gram
+    * counts are local to each row (GramCountsExpr scaladoc; the naive
+    * explode+groupBy build would shuffle |corpus| x |grams| rows to
+    * recount what each row knows). Shared by the batch build above and
+    * the streaming state index (StreamDedup.stateIndex), so the two paths
+    * cannot drift.
+    */
+  def gramProjections(items: DataFrame, conf: FuzzyConf): (DataFrame, DataFrame) = {
+    val sized = items
+      .select(
+        col("item_id"),
+        explode(array(conf.sizes.map(n =>
+          struct(lit(n).as("gram_size"), gf.gramCounts(col("key"), n).as("gc"))): _*)).as("sg"))
+      .select(col("item_id"), col("sg.gram_size").as("gram_size"), col("sg.gc").as("gc"))
+
+    val postings = sized
+      .select(col("item_id"), col("gram_size"), explode(col("gc")).as("e"))
+      .select(col("item_id"), col("gram_size"), col("e.gram").as("gram"), col("e.cnt").as("cnt"))
+
+    // integer sum of squares in one pass, sqrt at the end: the aggregate()
+    // HOF form runs in the expression interpreter per element (graft perf
+    // note) and this executes once per (item, gram_size) over ~|key| counts
+    val magUdf = udf { (cnts: Seq[Int]) =>
+      var acc = 0L
+      var i = 0
+      while (i < cnts.length) { val c = cnts(i).toLong; acc += c * c; i += 1 }
+      math.sqrt(acc.toDouble)
+    }
+    val norms = sized
+      .select(col("item_id"), col("gram_size"), magUdf(col("gc.cnt")).as("magnitude"))
+    (postings, norms)
+  }
+
+  /** MinHash signature + SimHash + LSH band tokens of an `items` table via
+    * ONE streaming native pass per row (SigBandsFromKeyExpr: normalize ->
+    * window -> md5 fused, the gram array never materializes — the
+    * pure-expression sig form re-ran md5s per component, the band-key HOF
+    * composition interpreted at ~300us/row was round 2's hottest spot, and
+    * the UDF/ShinglesExpr forms allocated per gram occurrence);
+    * value-identical to the column expressions and the DuckDB oracle
+    * (FunctionsSpec parity). NULL ss = the key has no grams (empty
+    * normalized text): no signature, no LSH (all-empty sigs would
+    * otherwise bucket together and pair up); byte-identical empties still
+    * dedup via the exact pass. Shared by the batch build and the streaming
+    * per-batch new-item pass.
+    */
+  def signatures(items: DataFrame, conf: FuzzyConf): DataFrame = items
+    .select(col("item_id"),
+      gf.sigBandsFromKey(col("key"), conf.gramHi,
+        conf.minhashHashes, conf.minhashBands, conf.rowsPerBand).as("ss"))
+    .filter(col("ss").isNotNull)
+    .select(col("item_id"), col("ss.sig").as("sig"), col("ss.simhash").as("simhash"),
+      col("ss.band_hashes").as("band_hashes"))
 }

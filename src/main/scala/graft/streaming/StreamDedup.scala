@@ -1,0 +1,186 @@
+package graft.streaming
+
+import graft.conf.FuzzyConf
+import graft.io.TableIO
+import graft.stage.{Candidates, Cluster, FindStage, IndexBuild, IndexTables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental near-duplicate detection over a STREAM of arriving clips —
+  * the continuous-ingestion form of the batch dedup pipeline
+  * (FuzzyPipeline.dedupEdges), with per-batch work O(batch + pairs)
+  * instead of O(corpus):
+  *
+  *  - state tables under `stateDir` (`items`, `members`, `sigs`),
+  *    maintained by insert-only first-writer-wins upserts
+  *    (TableIO.upsert — the Iceberg MERGE seam, so on a real catalog the
+  *    state is snapshot-isolated Iceberg tables);
+  *  - per micro-batch: the batch's key winners upsert into `items`
+  *    (losing rows become `members` of the existing item + EXACT edges),
+  *    signatures are computed for genuinely-new items only
+  *    (IndexBuild.signatures — the same fused native kernel as batch),
+  *    and candidates come from the new items' fused keys probing the
+  *    accumulated signature state (Candidates.incrementalPairs);
+  *  - candidate pairs are verified by the batch kernel
+  *    (FindStage.verifyPairs over a state-backed IndexTables view), so
+  *    streaming and batch scores cannot drift;
+  *  - verified edges land partitioned by batch_id with dynamic partition
+  *    overwrite — a retried micro-batch REPLACES its own partition, making
+  *    the at-least-once foreachBatch effectively-once end to end (every
+  *    state derivation above is replay-deterministic: upserts are
+  *    insert-only no-ops on replay and "new items" are defined by what the
+  *    state says won, which the replayed batch re-computes identically).
+  *
+  * The substring-containment pass is corpus-shaped (every sub-window of
+  * every container), not batch-shaped, so it intentionally stays in the
+  * periodic batch pipeline — the standard lambda split: streaming covers
+  * exact + LSH/SimHash near-dups as clips arrive; a scheduled
+  * FuzzyPipeline run (checkpointed, resumable) compacts and adds the
+  * substring edges. Union-over-batches pair coverage vs the batch
+  * fusedPairs is argued at [[Candidates.incrementalPairs]]; label
+  * equality of the two paths on substring-free corpora is pinned by
+  * StreamDedupSpec.
+  */
+object StreamDedup {
+
+  /** Start the streaming dedup: `clips` is a streaming DataFrame carrying
+    * (idCol, textCol). Edges accumulate under `stateDir/edges`; read them
+    * with [[edges]], label the corpus on demand with [[labels]].
+    */
+  def dedupStream(
+      clips: DataFrame,
+      idCol: String,
+      textCol: String,
+      conf: FuzzyConf,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    clips.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, conf, stateDir)
+      }
+      .start()
+
+  /** One micro-batch (exposed for replay tests — calling it twice with the
+    * same arguments must leave identical state and edges).
+    */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      conf: FuzzyConf,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val keyed = batch
+      .select(col(idCol).cast("string").as("clip_id"), col(textCol).as("original"))
+      .withColumn("key", lower(col("original")))
+
+    // the batch's per-key winner, deterministically (a distributed batch
+    // has no row order — same rule as IndexBuild/TableIO.upsert)
+    val batchItems = keyed
+      .groupBy("key")
+      .agg(min("clip_id").as("item_id"), min_by(col("original"), col("clip_id")).as("original"))
+      .select("item_id", "key", "original")
+    TableIO.upsert(spark, s"$stateDir/items", batchItems, "key")
+    val items = spark.read.parquet(s"$stateDir/items")
+
+    // every batch clip maps to the item the STATE says owns its key —
+    // replay-stable, since the upsert above is a no-op the second time
+    val batchMembers = keyed
+      .select("clip_id", "key")
+      .join(items.select("key", "item_id"), Seq("key"))
+      .select("clip_id", "item_id")
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    TableIO.upsert(spark, s"$stateDir/members", batchMembers, "clip_id")
+
+    // genuinely-new items = batch winners that WON their key in state
+    val newItems = items
+      .join(batchItems.select("item_id"), Seq("item_id"), "left_semi")
+    TableIO.upsert(spark, s"$stateDir/sigs",
+      IndexBuild.signatures(newItems, conf), "item_id")
+    val allSigs = spark.read.parquet(s"$stateDir/sigs")
+    val newSigs = allSigs.join(newItems.select("item_id"), Seq("item_id"), "left_semi")
+
+    val pairs = Candidates
+      .incrementalPairs(newSigs, allSigs, maxHamming = 3, conf.maxSaltedBucket)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    val fuzzy = FindStage.verifyPairs(pairs, stateIndex(spark, stateDir, conf), conf.minScore)
+
+    val exact = batchMembers
+      .filter(col("clip_id") =!= col("item_id"))
+      .select(
+        col("item_id").as("a_id"), col("clip_id").as("b_id"),
+        lit("exact").as("kind"), lit(1.0).as("score"))
+
+    exact.unionByName(fuzzy)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$stateDir/edges")
+
+    org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(pairs)
+      .foreach(_.unpersist(blocking = false))
+    org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(batchMembers)
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** The state tables as the batch kernel's IndexTables view, so
+    * verification runs the EXACT batch code path. postings/norms/bands are
+    * the same recompute-on-read projections the batch pipeline uses
+    * (FuzzyPipeline.mapSideStages) — and verifyPairs semi-join-prunes
+    * postings to candidate endpoints before the scan, so the cosine-mode
+    * projections never materialize corpus-wide here either (lev mode, the
+    * default, reads only items + sigs).
+    */
+  def stateIndex(spark: SparkSession, stateDir: String, conf: FuzzyConf): IndexTables = {
+    val items = spark.read.parquet(s"$stateDir/items")
+    val members = spark.read.parquet(s"$stateDir/members")
+    val sigs = spark.read.parquet(s"$stateDir/sigs")
+    val (postings, norms) = IndexBuild.gramProjections(items, conf)
+    val itemsN = items.join(
+      members.groupBy("item_id").agg(count(lit(1)).as("n_members")),
+      Seq("item_id"))
+    IndexTables(conf, itemsN, members, postings, norms, sigs,
+      sigs.select(col("item_id"), explode(col("band_hashes")).as("band_key")))
+  }
+
+  /** All verified edges accumulated so far: (a_id, b_id, kind, score).
+    * A duplicate-free stream writes no parquet files at all (dynamic
+    * partition overwrite of an empty frame emits nothing), so an absent /
+    * fileless edge dir reads as the empty edge set, not an error.
+    */
+  def edges(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a_id", StringType), StructField("b_id", StringType),
+      StructField("kind", StringType), StructField("score", DoubleType)))
+    try spark.read.parquet(s"$stateDir/edges").select("a_id", "b_id", "kind", "score")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  /** (clip_id, component) labels over everything ingested so far — CC over
+    * the accumulated edge set, same call shape as FuzzyPipeline.clusters.
+    * On demand / periodic, NOT per micro-batch: at 10^12 rows relabeling
+    * the world every batch would dominate the stream; the edge table is
+    * the incrementally-maintained state, labels are a (cheap, sparse)
+    * derivation from it.
+    */
+  def labels(spark: SparkSession, stateDir: String): DataFrame = {
+    val vertices = spark.read.parquet(s"$stateDir/members").select(col("clip_id").as("id"))
+    val (labeled, _, release) = Cluster.connectedComponentsReleasable(
+      vertices, edges(spark, stateDir).select("a_id", "b_id"))
+    val out = labeled
+      .select(col("id").as("clip_id"), col("component"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    release()
+    out
+  }
+}

@@ -72,6 +72,33 @@ class CandidatesSpec extends AnyFunSuite with Matchers {
     sigs.unpersist()
   }
 
+  test("union of per-batch incrementalPairs == fusedPairs over the full corpus") {
+    import graft.conf.FuzzyConf
+    val conf = FuzzyConf()
+    // 3000 synthetic clips with planted dups; no bucket approaches the
+    // caps, so both paths run their direct regimes and the pair SETS must
+    // be exactly equal — the incremental union-over-batches coverage
+    // argument (Candidates.incrementalPairs scaladoc) as a concrete check
+    val clips = graft.audio.ClipSynth.table(spark, 3000, includeAudio = false)
+    val idx = graft.stage.IndexBuild(clips, "clip_id", "transcript", conf)
+    val sigs = idx.sigs.cache()
+    // "arrival" split by item id hash: batch 1 = ~2/3, batch 2 = the rest
+    import org.apache.spark.sql.functions.{abs => fAbs, col, xxhash64}
+    val firstBatch = sigs.filter(fAbs(xxhash64(col("item_id"))) % 3 < 2).cache()
+    val secondNew = sigs.filter(fAbs(xxhash64(col("item_id"))) % 3 === 2)
+    val incremental =
+      Candidates.incrementalPairs(firstBatch, firstBatch, 3, conf.maxSaltedBucket)
+        .as[(String, String)].collect().toSet ++
+        Candidates.incrementalPairs(secondNew, sigs, 3, conf.maxSaltedBucket)
+          .as[(String, String)].collect().toSet
+    val batch = Candidates
+      .fusedPairs(sigs, 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+      .as[(String, String)].collect().toSet
+    incremental shouldBe batch
+    incremental should not be empty
+    sigs.unpersist(); firstBatch.unpersist()
+  }
+
   test("prefixHashes UDF matches the xxhash64 column on ascii and multibyte keys") {
     import org.apache.spark.sql.functions.{col, explode, lit, transform, sequence, xxhash64, length => slen}
     val keys = Seq("alabama arkansas california", "déjà vu naïve café au lait!",

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.api.FuzzyPipeline
+import graft.conf.FuzzyConf
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class StreamDedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // distinct multi-word transcripts (no coincidental borderline pairs, no
+  // substring containments — the substring pass intentionally stays in the
+  // batch pipeline, see StreamDedup scaladoc) + planted duplicates:
+  //  c001 exact-dup of c000 (same batch), c102 exact-dup of c000 (LATER
+  //  batch -> late exact edge to an existing item), c103 one-char edit of
+  //  c002 (cross-batch fuzzy), c104 one-char edit of c105 (in-batch fuzzy)
+  private val batch1 = Seq(
+    ("c000", "quick brown foxes jump over lazy dogs"),
+    ("c001", "Quick Brown Foxes Jump Over Lazy Dogs!"),
+    ("c002", "pack my box with five dozen liquor jugs"),
+    ("c003", "sphinx of black quartz judge my vow"))
+  private val batch2 = Seq(
+    ("c102", "quick brown foxes jump over lazy dogs"),
+    ("c103", "pack my box with five dosen liquor jugs"),
+    ("c104", "how vexingly quick daft zebras jump"),
+    ("c105", "how vexingly quick daft zebrar jump"),
+    ("c106", "the five boxing wizards move swiftly"))
+
+  private def newDirs() = (
+    java.nio.file.Files.createTempDirectory("sdedup-state").toString,
+    java.nio.file.Files.createTempDirectory("sdedup-ck").toString)
+
+  test("two-batch incremental dedup == batch pipeline labels on the union") {
+    val (stateDir, _) = newDirs()
+    val conf = FuzzyConf()
+    StreamDedup.processBatch(batch1.toDF("clip_id", "transcript"), 0L,
+      "clip_id", "transcript", conf, stateDir)
+    StreamDedup.processBatch(batch2.toDF("clip_id", "transcript"), 1L,
+      "clip_id", "transcript", conf, stateDir)
+
+    val streamLabels = StreamDedup.labels(spark, stateDir)
+      .as[(String, String)].collect().toMap
+    val batchLabels = FuzzyPipeline(
+      spark, (batch1 ++ batch2).toDF("clip_id", "transcript"), "clip_id", "transcript", conf)
+      .clusters().as[(String, String)].collect().toMap
+    streamLabels shouldBe batchLabels
+    // and the planted structure is actually found, not vacuously equal
+    streamLabels("c001") shouldBe "c000" // in-batch exact
+    streamLabels("c102") shouldBe "c000" // LATE exact dup joins the old item
+    streamLabels("c103") shouldBe "c002" // cross-batch fuzzy edit
+    streamLabels("c105") shouldBe "c104" // in-batch fuzzy edit
+    streamLabels("c003") shouldBe "c003" // unique rows stay singletons
+    streamLabels("c106") shouldBe "c106"
+  }
+
+  test("replaying a micro-batch leaves state and edges byte-identical") {
+    val (stateDir, _) = newDirs()
+    val conf = FuzzyConf()
+    StreamDedup.processBatch(batch1.toDF("clip_id", "transcript"), 0L,
+      "clip_id", "transcript", conf, stateDir)
+    StreamDedup.processBatch(batch2.toDF("clip_id", "transcript"), 1L,
+      "clip_id", "transcript", conf, stateDir)
+    def snapshot() = (
+      spark.read.parquet(s"$stateDir/items").as[(String, String, String)].collect().toSet,
+      spark.read.parquet(s"$stateDir/members").as[(String, String)].collect().toSet,
+      spark.read.parquet(s"$stateDir/sigs").select("item_id").as[String].collect().toSet,
+      StreamDedup.edges(spark, stateDir)
+        .as[(String, String, String, Double)].collect().toSet)
+    val before = snapshot()
+    // the at-least-once replay: the SAME batch re-runs with the same id
+    StreamDedup.processBatch(batch2.toDF("clip_id", "transcript"), 1L,
+      "clip_id", "transcript", conf, stateDir)
+    snapshot() shouldBe before
+  }
+
+  test("a duplicate-free stream yields singleton labels, not a read error") {
+    // zero edges means zero parquet files under edges/ (dynamic partition
+    // overwrite of an empty frame writes nothing) — labels() must still
+    // label every ingested clip as its own singleton
+    val (stateDir, _) = newDirs()
+    val unique = Seq(("u0", "alpha bravo charlie"), ("u1", "delta echo foxtrot"))
+    StreamDedup.processBatch(unique.toDF("clip_id", "transcript"), 0L,
+      "clip_id", "transcript", FuzzyConf(), stateDir)
+    StreamDedup.labels(spark, stateDir).as[(String, String)].collect().toMap shouldBe
+      Map("u0" -> "u0", "u1" -> "u1")
+  }
+
+  test("dedupStream wires the micro-batch processor through writeStream") {
+    val (stateDir, ckDir) = newDirs()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val q = StreamDedup.dedupStream(
+      stream.toDF().toDF("clip_id", "transcript"),
+      "clip_id", "transcript", FuzzyConf(), stateDir, ckDir)
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val labels = StreamDedup.labels(spark, stateDir).as[(String, String)].collect().toMap
+    labels("c102") shouldBe "c000"
+    labels("c105") shouldBe "c104"
+    labels.size shouldBe batch1.size + batch2.size
+  }
+}
