@@ -76,6 +76,44 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     snapshot() shouldBe before
   }
 
+  test("streaming + periodic substring compaction recovers every planted pair at 6k clips") {
+    import org.apache.spark.sql.functions.col
+    val (stateDir, _) = newDirs()
+    val conf = FuzzyConf()
+    val n = 6000L
+    val all = graft.audio.ClipSynth.table(spark, n, includeAudio = false)
+      .select("clip_id", "transcript").cache()
+    // ODD batch boundaries: planted pairs are adjacent (2b, 2b+1) slots,
+    // so splitting at 2001/4003 makes pairs straddle batches — the
+    // cross-batch new-vs-all join is what's under test, not just in-batch
+    val bounds = Seq((0L, 2001L), (2001L, 4003L), (4003L, n))
+    bounds.zipWithIndex.foreach { case ((lo, hi), b) =>
+      val batch = all.filter(
+        col("clip_id") >= f"clip_$lo%012d" && col("clip_id") < f"clip_$hi%012d")
+      StreamDedup.processBatch(batch, b.toLong, "clip_id", "transcript", conf, stateDir)
+    }
+    // the documented lambda split: streaming exact+fuzzy edges PLUS the
+    // periodic batch substring compaction over the accumulated items state
+    // (token append/drop planted dups are substring-path by design)
+    val idx = StreamDedup.stateIndex(spark, stateDir, conf)
+    val substr = graft.stage.Candidates.substringPairs(
+      idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)
+    val edges = StreamDedup.edges(spark, stateDir).select("a_id", "b_id")
+      .unionByName(substr.select("a_id", "b_id"))
+    val verts = spark.read.parquet(s"$stateDir/members").select(col("clip_id").as("id"))
+    val labels = graft.stage.Cluster.connectedComponents(verts, edges)
+      .as[(String, String)].collect().toMap
+    val planted = graft.audio.ClipSynth.plantedPairs(n)
+    planted.size should be > 500
+    val missed = planted.filterNot { case (a, b) =>
+      labels(f"clip_$a%012d") == labels(f"clip_$b%012d")
+    }
+    withClue(s"missed ${missed.size}/${planted.size} planted pairs, e.g. ${missed.take(5)}: ") {
+      missed shouldBe empty
+    }
+    all.unpersist()
+  }
+
   test("a duplicate-free stream yields singleton labels, not a read error") {
     // zero edges means zero parquet files under edges/ (dynamic partition
     // overwrite of an empty frame writes nothing) — labels() must still
