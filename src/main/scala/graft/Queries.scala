@@ -749,6 +749,48 @@ object Queries {
         |from read_parquet('__GRAFT_EXPECTED__/q_audio_dedup.parquet/*.parquet')
         |order by clip_id""".stripMargin),
 
+    // the STREAMING scale path end-to-end against an independent oracle:
+    // the same 2000-clip corpus arrives as three micro-batches with odd
+    // boundaries (planted dups occupy adjacent slots, so pairs straddle
+    // batches and exercise the cross-batch new-vs-state join), incremental
+    // exact+LSH/SimHash edges accumulate per batch, then the documented
+    // periodic substring compaction runs over the items state and CC labels
+    // the union. minScore 0.5 — above the percolation band (BASELINE.md),
+    // where the LSH candidate set provably covers every reference edge, so
+    // the scale path's labels are deterministic against the in-memory
+    // oracle (AudioOracle.expectedStreamClusters: reference getMatches
+    // cascade at 0.5 + exact keys + brute-force containment, union-find).
+    ("q_stream_dedup",
+      (s, _) => {
+        val conf = FuzzyConf(minScore = 0.5)
+        val n = 2000L
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft_q_stream_dedup").toString
+        val all = graft.audio.ClipSynth.table(s, n, includeAudio = false)
+          .select("clip_id", "transcript")
+        val bounds = Seq((0L, 667L), (667L, 1335L), (1335L, n))
+        bounds.zipWithIndex.foreach { case ((lo, hi), b) =>
+          graft.streaming.StreamDedup.processBatch(
+            all.filter(col("clip_id") >= f"clip_$lo%012d" &&
+              col("clip_id") < f"clip_$hi%012d"),
+            b.toLong, "clip_id", "transcript", conf, stateDir)
+        }
+        val idx = graft.streaming.StreamDedup.stateIndex(s, stateDir, conf)
+        val substr = graft.stage.Candidates.substringPairs(
+          idx.items, conf.substringPrefixLen, conf.substringMinRatio, conf.maxBandBucket)
+        val edges = graft.streaming.StreamDedup.edges(s, stateDir)
+          .select("a_id", "b_id")
+          .unionByName(substr.select("a_id", "b_id"))
+        val verts = s.read.parquet(s"$stateDir/members")
+          .select(col("clip_id").as("id"))
+        graft.stage.Cluster.connectedComponents(verts, edges)
+          .select(col("id").as("clip_id"), col("component"))
+          .orderBy("clip_id")
+      },
+      """select clip_id, component
+        |from read_parquet('__GRAFT_EXPECTED__/q_stream_dedup.parquet/*.parquet')
+        |order by clip_id""".stripMargin),
+
     ("q_events_daily",
       (s, dir) =>
         s.read.parquet(s"$dir/events.parquet")

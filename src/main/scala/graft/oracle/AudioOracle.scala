@@ -110,7 +110,27 @@ object AudioOracle {
     * the self hit — exactly the Haskell pipeline) feeding a sequential
     * union-find; component label = minimum clip_id in the component.
     */
-  def expectedClusters(n: Int, seed: Long = 42L): Seq[(String, String)] = {
+  def expectedClusters(n: Int, seed: Long = 42L): Seq[(String, String)] =
+    clusterLabels(n, seed, minScore = 0.33, substrMinRatio = None)
+
+  /** Expected (clip_id, component) for q_stream_dedup: the scale path's
+    * documented edge contract — exact-key star edges, reference getMatches
+    * cascade edges at `minScore`, PLUS substring-containment edges
+    * (contained key a strict substring of a longer container key at
+    * len(a)/len(b) >= `minRatio`, mirroring Candidates.substringPairs'
+    * verified semantics) — fed to the same sequential union-find. Still
+    * fully independent of the distributed path: reference-semantics
+    * in-memory set + brute-force O(keys^2) contains scan, no Spark.
+    * Sound as a scale-path oracle only at minScore above the percolation
+    * band (>= 0.5 — BASELINE.md round-4 scale-boundary finding): there the
+    * LSH candidate set provably covers every reference edge
+    * (MidScaleAgreementSpec measured 1.0 agreement).
+    */
+  def expectedStreamClusters(n: Int, minScore: Double, minRatio: Double, seed: Long = 42L): Seq[(String, String)] =
+    clusterLabels(n, seed, minScore, Some(minRatio))
+
+  private def clusterLabels(
+      n: Int, seed: Long, minScore: Double, substrMinRatio: Option[Double]): Seq[(String, String)] = {
     val texts = (0 until n).map(i => ClipSynth.clipAt(i.toLong, seed, includeAudio = false).transcript)
     val ids = (0 until n).map(i => f"clip_$i%012d")
 
@@ -129,10 +149,24 @@ object AudioOracle {
     }
     keyToFirst.foreach { case (k, f) =>
       val res = (ref.gramSizeUpper to ref.gramSizeLower by -1).iterator
-        .map(sz => ref.getMatches(k, 0.33, sz).filter(_._2.toLowerCase(java.util.Locale.ROOT) != k))
+        .map(sz => ref.getMatches(k, minScore, sz).filter(_._2.toLowerCase(java.util.Locale.ROOT) != k))
         .find(_.nonEmpty)
         .getOrElse(Nil)
       res.foreach { case (_, m) => union(f, keyToFirst(m.toLowerCase(java.util.Locale.ROOT))) }
+    }
+    substrMinRatio.foreach { minRatio =>
+      val keys = keyToFirst.keys.toArray
+      var i = 0
+      while (i < keys.length) {
+        var j = 0
+        while (j < keys.length) {
+          val a = keys(i); val b = keys(j)
+          if (a.length < b.length && a.length.toDouble / b.length >= minRatio && b.contains(a))
+            union(keyToFirst(a), keyToFirst(b))
+          j += 1
+        }
+        i += 1
+      }
     }
     (0 until n).map(i => (ids(i), ids(find(i))))
   }
@@ -151,5 +185,9 @@ object AudioOracle {
     expectedClusters(nDedup)
       .toDF("clip_id", "component")
       .coalesce(1).write.mode("overwrite").parquet(s"$expDir/q_audio_dedup.parquet")
+    expectedStreamClusters(nDedup, minScore = 0.5,
+        minRatio = graft.conf.FuzzyConf().substringMinRatio)
+      .toDF("clip_id", "component")
+      .coalesce(1).write.mode("overwrite").parquet(s"$expDir/q_stream_dedup.parquet")
   }
 }

@@ -114,6 +114,24 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     all.unpersist()
   }
 
+  test("q_stream_dedup driver query matches the independent oracle at its Verify size") {
+    // the exact comparison the driver's DuckDB hash gate makes: the
+    // registered query (3 micro-batches of 2000 clips, minScore 0.5,
+    // substring compaction, CC) vs the in-memory reference-semantics
+    // oracle (getMatches cascade at 0.5 + exact keys + brute containment)
+    val got = graft.Queries.queries("q_stream_dedup")(spark, "")
+      .as[(String, String)].collect().toMap
+    val want = graft.oracle.AudioOracle
+      .expectedStreamClusters(2000, minScore = 0.5,
+        minRatio = FuzzyConf().substringMinRatio)
+      .toMap
+    got.size shouldBe want.size
+    val diffs = want.keysIterator.filter(k => got.get(k) != Some(want(k))).toSeq
+    withClue(s"${diffs.size} label diffs, e.g. ${diffs.take(5).map(k => (k, got.get(k), want(k)))}: ") {
+      diffs shouldBe empty
+    }
+  }
+
   test("a duplicate-free stream yields singleton labels, not a read error") {
     // zero edges means zero parquet files under edges/ (dynamic partition
     // overwrite of an empty frame writes nothing) — labels() must still
