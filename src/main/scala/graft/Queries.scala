@@ -27,6 +27,25 @@ object Queries {
 
   private val P = gf.HashP // 1000000007
 
+  /** Temp state root for queries that stage small state tables (q_upsert,
+    * q_stream_dedup), deleted on JVM exit: the returned frames stay lazy
+    * over the staged parquet, so the files must outlive the query call,
+    * but repeated Verify/Bench iterations must not accumulate them under
+    * /tmp. One shutdown hook per query invocation — bounded per JVM.
+    */
+  private def tempStateDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+    dir
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -323,10 +342,7 @@ object Queries {
     // min over the union, which would let a later writer steal a key.
     ("q_upsert",
       (s, dir) => {
-        val target = java.nio.file.Files
-          .createTempDirectory("graft_q_upsert_")
-          .resolve("items")
-          .toString
+        val target = tempStateDir("graft_q_upsert_").resolve("items").toString
         def batch(filter: org.apache.spark.sql.Column) = docs(s, dir)
           .filter(filter)
           .select(col("doc_id"), lower(col("text")).as("key"))
@@ -764,8 +780,7 @@ object Queries {
       (s, _) => {
         val conf = FuzzyConf(minScore = 0.5)
         val n = 2000L
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft_q_stream_dedup").toString
+        val stateDir = tempStateDir("graft_q_stream_dedup").toString
         val all = graft.audio.ClipSynth.table(s, n, includeAudio = false)
           .select("clip_id", "transcript")
         val bounds = Seq((0L, 667L), (667L, 1335L), (1335L, n))

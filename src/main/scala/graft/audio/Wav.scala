@@ -103,9 +103,12 @@ object Wav {
       val size = buf.getInt()
       // A corrupted header with a negative size would make `next` land at or
       // before this chunk's start and the walk would re-read the same bytes
-      // forever; require forward progress so corruption surfaces as a decode
-      // failure (pcm_ok=false / snr_db=null upstream), not a hung task.
-      require(size >= 0, s"corrupt WAV chunk size $size")
+      // forever; a huge bogus size would allocate a ~2 GiB sample array (or
+      // overflow `next`) before any read hits the buffer's end. Bound the
+      // size by what the buffer actually holds so corruption surfaces as a
+      // decode failure (pcm_ok=false / snr_db=null upstream), not a hung
+      // task or an executor OOM.
+      require(size >= 0 && size <= buf.remaining(), s"corrupt WAV chunk size $size")
       // RIFF pads odd-sized chunks to 2-byte alignment: the next chunk id
       // starts at size + (size & 1), not size — skipping the pad is what
       // keeps the walk aligned on in-the-wild files with odd LIST/INFO

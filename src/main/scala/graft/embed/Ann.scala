@@ -99,11 +99,14 @@ object Ann {
     while (it.hasNext) {
       val k = it.next()
       if (k._1 != sc.startTime) {
-        val stale = planeBcCache.remove(k)
-        if (stale != null) {
-          try stale.destroy()
-          catch { case scala.util.control.NonFatal(_) => () } // context already gone
-        }
+        // drop the handle WITHOUT destroy(): Broadcast.destroy routes
+        // through the CURRENT SparkEnv keyed by the numeric broadcast id,
+        // and a restarted context reuses ids from 0 — destroying a stale
+        // handle here could delete a LIVE broadcast of the new context
+        // that happens to share its id. The dead context's blocks were
+        // already reclaimed when it stopped; the handle itself is the only
+        // thing left to release.
+        planeBcCache.remove(k)
       }
     }
     val bc = planeBcCache.computeIfAbsent(

@@ -455,7 +455,7 @@ object Candidates {
     * per corpus row, the flagship's largest fanout — the converter boxed
     * the band array in and a Tuple2 per key out).
     */
-  private def fusedKeyed(sigs: DataFrame): DataFrame = {
+  private[graft] def fusedKeyed(sigs: DataFrame): DataFrame = {
     val fusedKeys = org.apache.spark.sql.GraftColumnBridge.column(
       graft.sql.FusedKeysExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(col("band_hashes")),
@@ -465,39 +465,67 @@ object Candidates {
       .select(col("k.bkey").as("bkey"), col("k.ktype").as("ktype"), col("item_id"), col("sh"))
   }
 
-  /** Unordered candidate pairs TOUCHING the `newSigs` side: each new
-    * item's fused keys (LSH bands + SimHash chunks) probe the FULL corpus
-    * key table — the incremental form of [[fusedPairs]] for streaming
-    * ingestion, where per-batch work must be O(batch x bucket), not
-    * O(corpus). `newSigs` must be a subset of `allSigs` (state is upserted
-    * before pair generation), so new-vs-new pairs are produced too; the
-    * union over batches of these pair sets covers every pair [[fusedPairs]]
-    * would emit — a pair (a, b) is generated at the batch that added its
-    * later endpoint, when the earlier one is already in `allSigs`.
+  /** Unordered candidate pairs TOUCHING the `newSigs` side — signature-table
+    * convenience form of [[incrementalPairsFromKeys]] (both sides pay the
+    * fused-key explode here; the streaming pipeline maintains a persistent
+    * key table instead and calls the keys form directly).
+    */
+  def incrementalPairs(
+      newSigs: DataFrame,
+      allSigs: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame =
+    incrementalPairsFromKeys(fusedKeyed(newSigs), fusedKeyed(allSigs), maxHamming, maxBucket)
+
+  /** Candidate pairs touching the batch side, over fused-KEY tables
+    * (bkey, ktype, item_id, sh): `newKeys` the arriving batch's keys,
+    * `allKeys` the accumulated key state INCLUDING the batch (key state is
+    * written before pair generation) — the incremental form of
+    * [[fusedPairs]] for streaming ingestion. New-vs-new pairs are produced
+    * too; the union over batches of these pair sets covers every pair
+    * [[fusedPairs]] would emit below the flood regime — a pair (a, b) is
+    * generated at the batch that added its later endpoint, when the
+    * earlier one is already in `allKeys` (CandidatesSpec pins set
+    * equality).
+    *
+    * Cost: ONE pass over the accumulated key state, semi-join-pruned to
+    * the buckets this batch touches, then all shuffles are O(batch x
+    * bucket) — never a corpus-wide explode or corpus-wide aggregation.
+    * The pruning scan itself is O(|state|) IO per batch in the parquet
+    * sandbox; on the Iceberg seam the key table is bucket-partitioned and
+    * the same semi-join prunes at the metadata level. The pruned
+    * membership is localCheckpointed (two consumers: the bucket directory
+    * and the direct join) and `scratch`-tracked for release once the
+    * caller materializes the pairs.
     *
     * Skew: the probe side is per-member, so fanout is LINEAR in bucket
     * size (the self-join's quadratic salted middle regime has no
     * equivalent here). Buckets <= maxBucket join directly (<= maxBucket
     * partners per probe row); beyond that the probe pairs with the bucket
     * MINIMUM only — the same STAR spanning structure the batch flood
-    * regime emits. The star stays connected across batches: every member
-    * paired with the bucket min AS OF ITS ARRIVAL, which is itself such a
-    * member, so the chain reaches the current min inductively.
+    * regime emits. Cross-batch star connectivity needs one extra edge: a
+    * batch arrival that BECOMES the bucket minimum gets no (member -> min)
+    * edge itself, and every earlier member's star hangs off the OLD hub —
+    * so the new minimum is linked to the pre-batch minimum (the old hub),
+    * keeping the bucket one component inductively across batches.
     */
-  def incrementalPairs(
-      newSigs: DataFrame,
-      allSigs: DataFrame,
+  def incrementalPairsFromKeys(
+      newKeys: DataFrame,
+      allKeys: DataFrame,
       maxHamming: Int,
-      maxBucket: Int): DataFrame = {
-    val probe = fusedKeyed(newSigs)
-    val all = fusedKeyed(allSigs)
-    val sizes = all
+      maxBucket: Int,
+      scratch: Scratch = Scratch.noop): DataFrame = {
+    val touched = newKeys.select("bkey", "ktype").distinct()
+    val pruned = scratch.track(allKeys
+      .join(touched, Seq("bkey", "ktype"), "left_semi")
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val sizes = pruned
       .groupBy("bkey", "ktype")
       .agg(
         count(lit(1)).as("bucket_n"),
         min("item_id").as("min_id"),
         min_by(col("sh"), col("item_id")).as("min_sh"))
-    val withN = probe.join(sizes, Seq("bkey", "ktype")) // inner: every probe key has >= itself
+    val withN = newKeys.join(sizes, Seq("bkey", "ktype")) // inner: every probe key has >= itself
     // hamming gate (symmetric) runs inside each branch, before the distinct
     def keep(aSh: org.apache.spark.sql.Column, bSh: org.apache.spark.sql.Column) =
       (col("ktype") =!= 1) || bit_count(aSh.bitwiseXOR(bSh)) <= maxHamming
@@ -506,7 +534,7 @@ object Candidates {
       .filter(col("bucket_n") <= maxBucket)
       .select(col("bkey"), col("ktype"), col("item_id").as("x_id"), col("sh").as("x_sh"))
       .join(
-        all.select(col("bkey"), col("ktype"), col("item_id").as("y_id"), col("sh").as("y_sh")),
+        pruned.select(col("bkey"), col("ktype"), col("item_id").as("y_id"), col("sh").as("y_sh")),
         Seq("bkey", "ktype"))
       .filter(col("x_id") =!= col("y_id") && keep(col("x_sh"), col("y_sh")))
       .select(
@@ -521,6 +549,23 @@ object Candidates {
         least(col("item_id"), col("min_id")).as("a_id"),
         greatest(col("item_id"), col("min_id")).as("b_id"))
 
-    direct.unionByName(star).distinct()
+    // the old-hub patch edge: pre-batch minimum per flooded bucket (batch
+    // members anti-joined away), paired with a batch arrival that is the
+    // new bucket minimum. Empty when the bucket min is an old member (the
+    // common case) or the bucket is entirely new (the star alone spans it).
+    val oldMin = pruned
+      .join(newKeys.select("bkey", "ktype", "item_id"),
+        Seq("bkey", "ktype", "item_id"), "left_anti")
+      .groupBy("bkey", "ktype")
+      .agg(min("item_id").as("o_id"), min_by(col("sh"), col("item_id")).as("o_sh"))
+    val patch = withN
+      .filter(col("bucket_n") > maxBucket && col("item_id") === col("min_id"))
+      .join(oldMin, Seq("bkey", "ktype"))
+      .filter(keep(col("sh"), col("o_sh")))
+      .select(
+        least(col("item_id"), col("o_id")).as("a_id"),
+        greatest(col("item_id"), col("o_id")).as("b_id"))
+
+    direct.unionByName(star).unionByName(patch).distinct()
   }
 }

@@ -21,8 +21,11 @@ import org.apache.spark.storage.StorageLevel
   *    (losing rows become `members` of the existing item + EXACT edges),
   *    signatures are computed for genuinely-new items only
   *    (IndexBuild.signatures — the same fused native kernel as batch),
-  *    and candidates come from the new items' fused keys probing the
-  *    accumulated signature state (Candidates.incrementalPairs);
+  *    the new items' fused keys land in a `keys` state table (partitioned
+  *    by batch_id, replay-idempotent), and candidates come from those keys
+  *    probing the accumulated key state pruned to the batch's buckets
+  *    (Candidates.incrementalPairsFromKeys — per-batch shuffle is
+  *    O(batch x bucket), plus one semi-join-pruned scan of the key state);
   *  - candidate pairs are verified by the batch kernel
   *    (FindStage.verifyPairs over a state-backed IndexTables view), so
   *    streaming and batch scores cannot drift;
@@ -104,8 +107,27 @@ object StreamDedup {
     val allSigs = spark.read.parquet(s"$stateDir/sigs")
     val newSigs = allSigs.join(newItems.select("item_id"), Seq("item_id"), "left_semi")
 
+    // fused-KEY state: this batch's key rows land partitioned by batch_id
+    // (dynamic overwrite — a replay rewrites identical rows), so candidate
+    // generation reads accumulated 8-byte keys back instead of re-exploding
+    // every signature in state on every batch; incrementalPairsFromKeys
+    // then prunes that state to the batch's buckets in one semi-join scan
+    val newKeys = Candidates.fusedKeyed(newSigs)
+    newKeys
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$stateDir/keys")
+    // a keys dir can be absent only while state holds zero items (every
+    // batch so far added none) — same fileless-read contract as edges()
+    val allKeys =
+      try spark.read.parquet(s"$stateDir/keys").select("bkey", "ktype", "item_id", "sh")
+      catch { case _: org.apache.spark.sql.AnalysisException => newKeys.limit(0) }
+
+    val scratch = new graft.stage.Scratch()
     val pairs = Candidates
-      .incrementalPairs(newSigs, allSigs, maxHamming = 3, conf.maxSaltedBucket)
+      .incrementalPairsFromKeys(newKeys, allKeys, maxHamming = 3, conf.maxSaltedBucket, scratch)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     val fuzzy = FindStage.verifyPairs(pairs, stateIndex(spark, stateDir, conf), conf.minScore)
 
@@ -123,6 +145,9 @@ object StreamDedup {
       .partitionBy("batch_id")
       .parquet(s"$stateDir/edges")
 
+    // the edges write above is the last consumer of pairs AND of the pruned
+    // key membership incrementalPairsFromKeys tracked — release both
+    scratch.release()
     org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(pairs)
       .foreach(_.unpersist(blocking = false))
     org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(batchMembers)
@@ -172,8 +197,20 @@ object StreamDedup {
     * the world every batch would dominate the stream; the edge table is
     * the incrementally-maintained state, labels are a (cheap, sparse)
     * derivation from it.
+    *
+    * NOTE: the returned frame is an eager local checkpoint whose blocks
+    * stay pinned for the session — fine for a one-shot read, but a
+    * long-lived streaming driver that relabels PERIODICALLY accumulates
+    * one corpus-sized block set per call. Such callers should use
+    * [[labelsReleasable]] and release each generation once consumed.
     */
-  def labels(spark: SparkSession, stateDir: String): DataFrame = {
+  def labels(spark: SparkSession, stateDir: String): DataFrame =
+    labelsReleasable(spark, stateDir)._1
+
+  /** [[labels]] plus a release hook that unpersists the result's blocks;
+    * call it once the labels have been written out / consumed.
+    */
+  def labelsReleasable(spark: SparkSession, stateDir: String): (DataFrame, () => Unit) = {
     val vertices = spark.read.parquet(s"$stateDir/members").select(col("clip_id").as("id"))
     val (labeled, _, release) = Cluster.connectedComponentsReleasable(
       vertices, edges(spark, stateDir).select("a_id", "b_id"))
@@ -181,6 +218,7 @@ object StreamDedup {
       .select(col("id").as("clip_id"), col("component"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     release()
-    out
+    (out, () => org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(out)
+      .foreach(_.unpersist(blocking = false)))
   }
 }

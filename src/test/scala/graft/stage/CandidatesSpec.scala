@@ -99,6 +99,25 @@ class CandidatesSpec extends AnyFunSuite with Matchers {
     sigs.unpersist(); firstBatch.unpersist()
   }
 
+  test("incremental flood star stays connected when a batch arrival becomes the bucket minimum") {
+    // one flooded bucket (maxBucket = 3): old members o4..o9 whose own
+    // arrival-time stars all hang off o4; the next batch brings a0 and a1,
+    // BOTH smaller than every old id. a1's star edge goes to the new min
+    // a0 — and a0 itself gets NO (member -> min) edge, so without the
+    // old-hub patch edge (a0, o4) the old members' stars would strand as a
+    // second component
+    def keys(ids: Seq[String]) =
+      ids.map(id => (7L, 0, id, 0L)).toDF("bkey", "ktype", "item_id", "sh")
+    val old = Seq("o4", "o5", "o6", "o7", "o8", "o9")
+    val pairs = Candidates
+      .incrementalPairsFromKeys(keys(Seq("a0", "a1")), keys(old ++ Seq("a0", "a1")),
+        maxHamming = 3, maxBucket = 3)
+      .as[(String, String)].collect().toSet
+    pairs should contain(("a0", "a1")) // star to the new min
+    pairs should contain(("a0", "o4")) // patch to the old hub
+    pairs.size shouldBe 2 // still linear: no per-member fanout beyond the star
+  }
+
   test("prefixHashes UDF matches the xxhash64 column on ascii and multibyte keys") {
     import org.apache.spark.sql.functions.{col, explode, lit, transform, sequence, xxhash64, length => slen}
     val keys = Seq("alabama arkansas california", "déjà vu naïve café au lait!",
