@@ -76,7 +76,10 @@ object Bench {
     if (flagship) sys.env.get("SPARK_GRAFT_CONF_EXTRA").foreach {
       _.split(';').map(_.trim).filter(_.contains('=')).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
+        // trim around '=' too: "k = v" would otherwise set the unknown key
+        // "k " (Spark accepts it silently) and the A/B compares two
+        // identical configs — the exact taint this seam exists to avoid
+        b.config(k.trim, v.trim)
       }
     }
     val s = b.getOrCreate()
@@ -258,7 +261,7 @@ object Bench {
     // shared host makes valid, per BASELINE.md's degraded-phase controls)
     // are reported alongside the cross-window min ratio.
     // 3 base pairs at 1.6M costs about what 4 pairs cost at 400k; the
-    // rescue-rep loop below still extends a degraded window by up to 2
+    // rescue-rep loop below still extends a degraded window by up to 3
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // rescue reps: when the base reps end below BOTH forms of the gate
     // (min-based >= 0.5, or >= 0.9x the ceiling offered so far), the run

@@ -31,18 +31,23 @@ object Queries {
     * q_stream_dedup), deleted on JVM exit: the returned frames stay lazy
     * over the staged parquet, so the files must outlive the query call,
     * but repeated Verify/Bench iterations must not accumulate them under
-    * /tmp. One shutdown hook per query invocation — bounded per JVM.
+    * /tmp. ONE shared shutdown hook drains a concurrent queue of created
+    * dirs — per-invocation hooks would grow a Thread per query call in a
+    * long-lived interactive JVM.
     */
+  private val tempStateDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    sys.addShutdownHook {
+      var p = tempStateDirs.poll()
+      while (p != null) {
+        graft.io.TableIO.deleteRecursively(p)
+        p = tempStateDirs.poll()
+      }
+    }: Unit
+  }
   private def tempStateDir(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        val children = f.listFiles()
-        if (children != null) children.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }
+    tempStateDirs.add(dir): Unit
     dir
   }
 

@@ -135,7 +135,7 @@ object TableIO {
     }
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
       // Files.walk holds directory handles until the STREAM is closed —

@@ -156,13 +156,49 @@ object AudioOracle {
     }
     substrMinRatio.foreach { minRatio =>
       val keys = keyToFirst.keys.toArray
+      // FIXTURE GUARD (not reference semantics): the engine path this
+      // oracle validates (Candidates.substringPairs) caps distinct
+      // containers per window at FuzzyConf.maxBandBucket (default 100) — a
+      // deliberate hot-window fanout bound for 10^12-row corpora. This
+      // brute scan has no cap, so a fixture corpus where a real pair's
+      // join window is shared by more containers than the cap would make
+      // oracle and engine diverge SILENTLY (a spurious q_stream_dedup
+      // failure — or a pass that masks capped-away pairs). Fail loudly at
+      // oracle-generation time instead. L mirrors substringPrefixLen; 90
+      // (< 100) leaves headroom for the engine's approx_count_distinct
+      // (~2% HLL error) so the fixture never sits ON the cap boundary.
+      val L = 16
+      val capWithHeadroom = 90
+      val containerCount = scala.collection.mutable.HashMap.empty[String, Int]
+      val maxShortContainerLen = ((L - 1) / minRatio).toInt
+      keys.foreach { b =>
+        val wins = scala.collection.mutable.HashSet.empty[String]
+        var i = 0
+        while (i + L <= b.length) { wins += b.substring(i, i + L); i += 1 } // long regime
+        if (b.length <= maxShortContainerLen) { // short-closure regime
+          val maxLen = math.min(L - 1, b.length - 1)
+          var len = 1
+          while (len <= maxLen) {
+            var j = 0
+            while (j + len <= b.length) { wins += b.substring(j, j + len); j += 1 }
+            len += 1
+          }
+        }
+        wins.foreach(w => containerCount(w) = containerCount.getOrElse(w, 0) + 1)
+      }
       var i = 0
       while (i < keys.length) {
         var j = 0
         while (j < keys.length) {
           val a = keys(i); val b = keys(j)
-          if (a.length < b.length && a.length.toDouble / b.length >= minRatio && b.contains(a))
+          if (a.length < b.length && a.length.toDouble / b.length >= minRatio && b.contains(a)) {
+            val window = if (a.length >= L) a.substring(0, L) else a
+            require(containerCount.getOrElse(window, 0) <= capWithHeadroom,
+              s"fixture corpus outgrew the engine's hot-window cap: window of " +
+                s"'${a.take(24)}' is contained in ${containerCount(window)} keys " +
+                s"(engine caps at 100) — shrink/reshape the fixture or raise maxBandBucket")
             union(keyToFirst(a), keyToFirst(b))
+          }
           j += 1
         }
         i += 1

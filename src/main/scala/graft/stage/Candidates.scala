@@ -469,13 +469,22 @@ object Candidates {
     * convenience form of [[incrementalPairsFromKeys]] (both sides pay the
     * fused-key explode here; the streaming pipeline maintains a persistent
     * key table instead and calls the keys form directly).
+    *
+    * NOTE: pair generation local-checkpoints the pruned key-state
+    * membership internally. With the default [[Scratch.noop]] those blocks
+    * stay pinned for the SparkContext lifetime — fine for a one-shot call,
+    * but a long-lived driver calling this per micro-batch must pass its
+    * own `scratch` and `release()` it once the returned pairs are
+    * materialized, or the pinned blocks grow by one pruned-state-sized set
+    * per batch (StreamDedup.processBatch does exactly that).
     */
   def incrementalPairs(
       newSigs: DataFrame,
       allSigs: DataFrame,
       maxHamming: Int,
-      maxBucket: Int): DataFrame =
-    incrementalPairsFromKeys(fusedKeyed(newSigs), fusedKeyed(allSigs), maxHamming, maxBucket)
+      maxBucket: Int,
+      scratch: Scratch = Scratch.noop): DataFrame =
+    incrementalPairsFromKeys(fusedKeyed(newSigs), fusedKeyed(allSigs), maxHamming, maxBucket, scratch)
 
   /** Candidate pairs touching the batch side, over fused-KEY tables
     * (bkey, ktype, item_id, sh): `newKeys` the arriving batch's keys,

@@ -99,9 +99,29 @@ object StreamDedup {
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     TableIO.upsert(spark, s"$stateDir/members", batchMembers, "clip_id")
 
-    // genuinely-new items = batch winners that WON their key in state
+    // genuinely-new items = batch winners that WON their key in state AND
+    // whose fused keys are not already in the keys state from an EARLIER
+    // batch. The second condition matters under at-least-once delivery: a
+    // later batch that re-sends a clip which is already its key's state
+    // winner passes the first join (its item_id IS the state winner), and
+    // treating it as new would land its fused keys AGAIN under the new
+    // batch_id — inflating bucket_n with phantom members (a bucket near
+    // maxSaltedBucket flips to star-only edges and real candidate pairs
+    // are lost) and growing the keys state without bound. The CURRENT
+    // batch_id is excluded from the seen-set so a crash-replay of this
+    // batch (same batch_id, keys already written, edges not yet) still
+    // regenerates its keys and edges; partition pruning keeps the read to
+    // earlier partitions, which the dynamic overwrite below never touches.
+    val seenIds =
+      try spark.read.parquet(s"$stateDir/keys")
+        .filter(col("batch_id") =!= lit(batchId))
+        .select("item_id")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => items.select("item_id").limit(0)
+      }
     val newItems = items
       .join(batchItems.select("item_id"), Seq("item_id"), "left_semi")
+      .join(seenIds, Seq("item_id"), "left_anti")
     TableIO.upsert(spark, s"$stateDir/sigs",
       IndexBuild.signatures(newItems, conf), "item_id")
     val allSigs = spark.read.parquet(s"$stateDir/sigs")

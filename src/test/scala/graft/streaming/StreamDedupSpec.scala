@@ -76,6 +76,39 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     snapshot() shouldBe before
   }
 
+  test("re-delivering an ingested clip in a LATER batch adds no duplicate key state") {
+    import org.apache.spark.sql.functions.col
+    val (stateDir, _) = newDirs()
+    val conf = FuzzyConf()
+    StreamDedup.processBatch(batch1.toDF("clip_id", "transcript"), 0L,
+      "clip_id", "transcript", conf, stateDir)
+    val keysPerItem = spark.read.parquet(s"$stateDir/keys")
+      .filter(col("item_id") === "c000").count()
+    keysPerItem should be > 0L
+    // the at-least-once upstream re-sends c000 VERBATIM in a later batch
+    // (different batch_id — the replay test above covers the same-id case)
+    // alongside one genuinely new clip
+    val redelivery = Seq(
+      ("c000", "quick brown foxes jump over lazy dogs"),
+      ("c200", "jackdaws love my big sphinx of quartz"))
+    StreamDedup.processBatch(redelivery.toDF("clip_id", "transcript"), 1L,
+      "clip_id", "transcript", conf, stateDir)
+    val keys = spark.read.parquet(s"$stateDir/keys")
+    // c000 is still its key's state winner but NOT new: its fused keys
+    // must not appear a second time under batch_id=1 (phantom bucket
+    // members / unbounded key-state growth under sustained re-delivery)
+    keys.filter(col("item_id") === "c000").count() shouldBe keysPerItem
+    keys.groupBy("bkey", "ktype", "item_id", "sh").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    // while the genuinely new clip's keys DID land
+    keys.filter(col("item_id") === "c200").count() should be > 0L
+    // and labels still resolve the corpus correctly
+    val labels = StreamDedup.labels(spark, stateDir)
+      .as[(String, String)].collect().toMap
+    labels("c000") shouldBe "c000"
+    labels("c200") shouldBe "c200"
+  }
+
   test("streaming + periodic substring compaction recovers every planted pair at 6k clips") {
     import org.apache.spark.sql.functions.col
     val (stateDir, _) = newDirs()
