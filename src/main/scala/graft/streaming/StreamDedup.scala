@@ -48,6 +48,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object StreamDedup {
 
+  /** Whether a state path exists at all. State reads below tolerate two
+    * distinct "no data yet" shapes: an ABSENT dir (nothing ever written)
+    * and a fileless dir (dynamic overwrite of an empty frame leaves only
+    * _SUCCESS). The second still needs the AnalysisException catch, but
+    * short-circuiting the first here keeps Spark's analyzer from logging
+    * a full FileNotFoundException WARN stack trace on every stream's
+    * first batch — alarming noise in otherwise-clean driver logs.
+    */
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Start the streaming dedup: `clips` is a streaming DataFrame carrying
     * (idCol, textCol). Edges accumulate under `stateDir/edges`; read them
     * with [[edges]], label the corpus on demand with [[labels]].
@@ -113,7 +126,8 @@ object StreamDedup {
     // regenerates its keys and edges; partition pruning keeps the read to
     // earlier partitions, which the dynamic overwrite below never touches.
     val seenIds =
-      try spark.read.parquet(s"$stateDir/keys")
+      if (!pathExists(spark, s"$stateDir/keys")) items.select("item_id").limit(0)
+      else try spark.read.parquet(s"$stateDir/keys")
         .filter(col("batch_id") =!= lit(batchId))
         .select("item_id")
       catch {
@@ -142,7 +156,8 @@ object StreamDedup {
     // a keys dir can be absent only while state holds zero items (every
     // batch so far added none) — same fileless-read contract as edges()
     val allKeys =
-      try spark.read.parquet(s"$stateDir/keys").select("bkey", "ktype", "item_id", "sh")
+      if (!pathExists(spark, s"$stateDir/keys")) newKeys.limit(0)
+      else try spark.read.parquet(s"$stateDir/keys").select("bkey", "ktype", "item_id", "sh")
       catch { case _: org.apache.spark.sql.AnalysisException => newKeys.limit(0) }
 
     val scratch = new graft.stage.Scratch()
@@ -204,11 +219,10 @@ object StreamDedup {
     val schema = StructType(Seq(
       StructField("a_id", StringType), StructField("b_id", StringType),
       StructField("kind", StringType), StructField("score", DoubleType)))
-    try spark.read.parquet(s"$stateDir/edges").select("a_id", "b_id", "kind", "score")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!pathExists(spark, s"$stateDir/edges")) empty
+    else try spark.read.parquet(s"$stateDir/edges").select("a_id", "b_id", "kind", "score")
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   /** (clip_id, component) labels over everything ingested so far — CC over
