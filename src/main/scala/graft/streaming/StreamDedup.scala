@@ -61,6 +61,40 @@ object StreamDedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The one "no data yet" contract for every state read in this file:
+    * an ABSENT dir and a fileless dir (dynamic overwrite of an empty frame
+    * leaves only _SUCCESS) both mean `fallback`; anything else is
+    * `project` over the parquet read.
+    */
+  private def readState(spark: SparkSession, dir: String)(
+      project: DataFrame => DataFrame)(fallback: => DataFrame): DataFrame =
+    if (!pathExists(spark, dir)) fallback
+    else try project(spark.read.parquet(dir))
+    catch { case _: org.apache.spark.sql.AnalysisException => fallback }
+
+  /** Highest batch id ever committed into `stateDir`, from the `_last_batch`
+    * marker [[processBatch]] writes after each edges commit. None when the
+    * state is fresh (or the marker is a torn write — the guard then stays
+    * permissive rather than bricking a recovering stream).
+    */
+  private def lastCommittedBatch(spark: SparkSession, stateDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_last_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+      Some(new String(bytes, "UTF-8").trim.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeCommittedBatch(spark: SparkSession, stateDir: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_last_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Start the streaming dedup: `clips` is a streaming DataFrame carrying
     * (idCol, textCol). Edges accumulate under `stateDir/edges`; read them
     * with [[edges]], label the corpus on demand with [[labels]].
@@ -90,9 +124,34 @@ object StreamDedup {
       conf: FuzzyConf,
       stateDir: String): Unit = {
     val spark = batch.sparkSession
+
+    // guard the stateDir against a RESTARTED query with a fresh
+    // checkpointDir: batch ids restart at 0 there, and the dynamic
+    // partition overwrites below would silently REPLACE earlier batches'
+    // keys/edges partitions — old items' fused keys vanish from key state
+    // (future arrivals can no longer pair with them) and verified edges
+    // are deleted, so labels() under-merges with no error. A crash-replay
+    // of the last committed batch re-delivers the SAME id (>=), which
+    // stays allowed; only a batch id that moves backwards fails loudly.
+    lastCommittedBatch(spark, stateDir).foreach { last =>
+      require(
+        batchId >= last,
+        s"state at $stateDir was committed up to batch $last but this query " +
+          s"delivered batch $batchId — a new checkpointDir restarts batch ids at 0 " +
+          "and its dynamic partition overwrites would corrupt the accumulated " +
+          "keys/edges state. Resume with the original checkpointDir, or point " +
+          "the stream at a fresh stateDir.")
+    }
+
+    // the arriving micro-batch feeds FIVE separate actions below (items
+    // upsert, members checkpoint, sigs upsert, keys write, pairs
+    // materialization); without a checkpoint each would re-read the
+    // batch's offset range from the streaming source — 4-5x source I/O
+    // and decode per batch on the hot path
     val keyed = batch
       .select(col(idCol).cast("string").as("clip_id"), col(textCol).as("original"))
       .withColumn("key", lower(col("original")))
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
 
     // the batch's per-key winner, deterministically (a distributed batch
     // has no row order — same rule as IndexBuild/TableIO.upsert)
@@ -125,14 +184,9 @@ object StreamDedup {
     // batch (same batch_id, keys already written, edges not yet) still
     // regenerates its keys and edges; partition pruning keeps the read to
     // earlier partitions, which the dynamic overwrite below never touches.
-    val seenIds =
-      if (!pathExists(spark, s"$stateDir/keys")) items.select("item_id").limit(0)
-      else try spark.read.parquet(s"$stateDir/keys")
-        .filter(col("batch_id") =!= lit(batchId))
-        .select("item_id")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => items.select("item_id").limit(0)
-      }
+    val seenIds = readState(spark, s"$stateDir/keys")(
+      _.filter(col("batch_id") =!= lit(batchId)).select("item_id"))(
+      items.select("item_id").limit(0))
     val newItems = items
       .join(batchItems.select("item_id"), Seq("item_id"), "left_semi")
       .join(seenIds, Seq("item_id"), "left_anti")
@@ -146,7 +200,11 @@ object StreamDedup {
     // generation reads accumulated 8-byte keys back instead of re-exploding
     // every signature in state on every batch; incrementalPairsFromKeys
     // then prunes that state to the batch's buckets in one semi-join scan
+    // checkpointed: consumed by the keys write AND by candidate generation
+    // below — without it the whole newSigs derivation (state reads + the
+    // signature kernel) re-runs for each
     val newKeys = Candidates.fusedKeyed(newSigs)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
     newKeys
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -155,21 +213,42 @@ object StreamDedup {
       .parquet(s"$stateDir/keys")
     // a keys dir can be absent only while state holds zero items (every
     // batch so far added none) — same fileless-read contract as edges()
-    val allKeys =
-      if (!pathExists(spark, s"$stateDir/keys")) newKeys.limit(0)
-      else try spark.read.parquet(s"$stateDir/keys").select("bkey", "ktype", "item_id", "sh")
-      catch { case _: org.apache.spark.sql.AnalysisException => newKeys.limit(0) }
+    val allKeys = readState(spark, s"$stateDir/keys")(
+      _.select("bkey", "ktype", "item_id", "sh"))(newKeys.limit(0))
 
     val scratch = new graft.stage.Scratch()
     val pairs = Candidates
       .incrementalPairsFromKeys(newKeys, allKeys, maxHamming = 3, conf.maxSaltedBucket, scratch)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
-    val fuzzy = FindStage.verifyPairs(pairs, stateIndex(spark, stateDir, conf), conf.minScore)
+    // the batch scratch rides into verifyPairs too: in cosine mode it
+    // localCheckpoints gated pairs + pruned postings internally, and the
+    // default noop scratch would pin those blocks forever — one leaked
+    // candidate+postings-sized block set per micro-batch
+    val fuzzy = FindStage.verifyPairs(
+      pairs, stateIndex(spark, stateDir, conf), conf.minScore, scratch)
 
-    val exact = batchMembers
+    // exact edges: only for clips whose edge is not already committed by an
+    // EARLIER batch. Under at-least-once delivery a loser clip can be
+    // re-sent batches later; batchMembers maps it to its state owner again,
+    // and without the anti-join its (owner, clip) edge would be re-written
+    // under every re-delivering batch_id — edges() then returns duplicate
+    // rows and the edge state grows with re-deliveries (the same unbounded-
+    // growth class the seenIds anti-join closes for key state). The CURRENT
+    // batch_id is excluded from the seen-set so a crash-replay still
+    // regenerates its own partition. dropDuplicates: a micro-batch that
+    // carries the same clip row twice must not write the edge twice (the
+    // owner is unique per clip, so duplicates are full-row identical).
+    val exactRaw = batchMembers
       .filter(col("clip_id") =!= col("item_id"))
+      .select(col("item_id").as("a_id"), col("clip_id").as("b_id"))
+      .dropDuplicates("b_id")
+    val priorExact = readState(spark, s"$stateDir/edges")(
+      _.filter(col("batch_id") =!= lit(batchId) && col("kind") === lit("exact"))
+        .select("b_id"))(exactRaw.select("b_id").limit(0))
+    val exact = exactRaw
+      .join(priorExact, Seq("b_id"), "left_anti")
       .select(
-        col("item_id").as("a_id"), col("clip_id").as("b_id"),
+        col("a_id"), col("b_id"),
         lit("exact").as("kind"), lit(1.0).as("score"))
 
     exact.unionByName(fuzzy)
@@ -179,14 +258,15 @@ object StreamDedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$stateDir/edges")
+    writeCommittedBatch(spark, stateDir, batchId)
 
     // the edges write above is the last consumer of pairs AND of the pruned
-    // key membership incrementalPairsFromKeys tracked — release both
+    // key membership incrementalPairsFromKeys tracked — release everything
     scratch.release()
-    org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(pairs)
-      .foreach(_.unpersist(blocking = false))
-    org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(batchMembers)
-      .foreach(_.unpersist(blocking = false))
+    Seq(pairs, batchMembers, newKeys, keyed).foreach { df =>
+      org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** The state tables as the batch kernel's IndexTables view, so
@@ -220,9 +300,8 @@ object StreamDedup {
       StructField("a_id", StringType), StructField("b_id", StringType),
       StructField("kind", StringType), StructField("score", DoubleType)))
     def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (!pathExists(spark, s"$stateDir/edges")) empty
-    else try spark.read.parquet(s"$stateDir/edges").select("a_id", "b_id", "kind", "score")
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    readState(spark, s"$stateDir/edges")(
+      _.select("a_id", "b_id", "kind", "score"))(empty)
   }
 
   /** (clip_id, component) labels over everything ingested so far — CC over

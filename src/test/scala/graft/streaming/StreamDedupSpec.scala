@@ -109,6 +109,66 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     labels("c200") shouldBe "c200"
   }
 
+  test("re-delivering a LOSER clip in later batches adds no duplicate exact edge") {
+    import org.apache.spark.sql.functions.col
+    val (stateDir, _) = newDirs()
+    val conf = FuzzyConf()
+    StreamDedup.processBatch(batch1.toDF("clip_id", "transcript"), 0L,
+      "clip_id", "transcript", conf, stateDir)
+    // e001 is a case-only variant of c000's transcript — SAME key after
+    // lower(), so it LOSES the key to c000 when it first arrives in batch 1
+    // (exact edge written there). The at-least-once upstream then re-sends
+    // it verbatim in batch 2 — batchMembers maps it to its state owner
+    // again, and without the prior-edge anti-join the (c000, e001) edge
+    // would be re-written under every re-delivering batch_id.
+    val redelivery = Seq(
+      ("e001", "QUICK BROWN FOXES JUMP OVER LAZY DOGS"),
+      ("c300", "jackdaws love my big sphinx of quartz"))
+    StreamDedup.processBatch(redelivery.toDF("clip_id", "transcript"), 1L,
+      "clip_id", "transcript", conf, stateDir)
+    StreamDedup.processBatch(redelivery.toDF("clip_id", "transcript"), 2L,
+      "clip_id", "transcript", conf, stateDir)
+    val edges = StreamDedup.edges(spark, stateDir)
+    edges.filter(col("kind") === "exact" && col("b_id") === "e001").count() shouldBe 1L
+    // no duplicate rows anywhere in the accumulated edge state
+    edges.count() shouldBe edges.distinct().count()
+    // and labels still resolve correctly after the re-deliveries
+    val labels = StreamDedup.labels(spark, stateDir).as[(String, String)].collect().toMap
+    labels("e001") shouldBe "c000"
+    labels("c300") shouldBe "c300"
+  }
+
+  test("a micro-batch carrying the same clip row twice writes ONE exact edge") {
+    import org.apache.spark.sql.functions.col
+    val (stateDir, _) = newDirs()
+    // d1 is an exact dup of d0 AND arrives twice in the same batch (e.g. a
+    // source that duplicated the record): one edge row, not two identical
+    val batch = Seq(
+      ("d0", "some unique words right here"),
+      ("d1", "Some Unique Words Right Here"),
+      ("d1", "Some Unique Words Right Here"))
+    StreamDedup.processBatch(batch.toDF("clip_id", "transcript"), 0L,
+      "clip_id", "transcript", FuzzyConf(), stateDir)
+    StreamDedup.edges(spark, stateDir)
+      .filter(col("b_id") === "d1").count() shouldBe 1L
+  }
+
+  test("a batch id moving backwards fails loudly instead of overwriting state") {
+    val (stateDir, _) = newDirs()
+    val conf = FuzzyConf()
+    StreamDedup.processBatch(batch1.toDF("clip_id", "transcript"), 5L,
+      "clip_id", "transcript", conf, stateDir)
+    // a RESTART with a fresh checkpointDir restarts batch ids at 0; its
+    // dynamic partition overwrites would silently replace batch <= 5's
+    // keys/edges partitions — the state guard must refuse instead
+    an[IllegalArgumentException] should be thrownBy
+      StreamDedup.processBatch(batch2.toDF("clip_id", "transcript"), 0L,
+        "clip_id", "transcript", conf, stateDir)
+    // replaying the SAME id stays allowed (crash-replay contract)
+    StreamDedup.processBatch(batch1.toDF("clip_id", "transcript"), 5L,
+      "clip_id", "transcript", conf, stateDir)
+  }
+
   test("streaming + periodic substring compaction recovers every planted pair at 6k clips") {
     import org.apache.spark.sql.functions.col
     val (stateDir, _) = newDirs()
