@@ -49,13 +49,12 @@ object ClipSynth {
       dup_kind: String // "base" | "exact" | "typo" | "drop"
   )
 
-  /** Transcript of base row b — a 3-6 word phrase over a ~5600-token
-    * vocabulary (state name + 2-digit suffix). The suffix matters: with the
-    * bare 56-word list every pair of random transcripts shares most of its
-    * vocabulary and 3-gram Jaccard concentrates around 0.4-0.5, which no
-    * LSH threshold can separate from real near-duplicates — a benchmark of
-    * pathological all-pairs similarity, not of dedup. Real transcript
-    * corpora have Zipfian vocabularies in the 10^4+ range.
+  /** Transcript of base row b — a 6-10 word phrase drawn from the 5600
+    * pseudo-word [[vocab]]. Vocabulary scale matters (see the vocab doc):
+    * a small shared word list would concentrate cross-transcript 3-gram
+    * Jaccard around 0.4-0.5, which no LSH threshold can separate from real
+    * near-duplicates. Real transcript corpora have Zipfian vocabularies in
+    * the 10^4+ range.
     */
   def baseTranscript(b: Long, seed: Long): String = {
     val rng = new java.util.Random(seed * 7919L + b)

@@ -33,11 +33,18 @@ object Invariant {
       ClipSynth.clipAt(i, seed, includeAudio = false).transcript
     }
     clips
-      .withColumn("row_idx", regexp_extract(col("clip_id"), "clip_(\\d+)", 1).cast("long"))
+      // try_cast, not cast: a mangled clip_id extracts '' and an ANSI cast
+      // would throw — killing the very job that reports which rows broke
+      .withColumn("row_idx",
+        expr("try_cast(regexp_extract(clip_id, 'clip_(\\\\d+)', 1) as bigint)"))
       .withColumn("snr_db", snrUdf(col("bytes"), col("base_idx"), col("dur_ms")))
       .withColumn("pcm_ok", coalesce(col("snr_db") >= MinSnrDb, lit(false)))
+      // same coalesce treatment as pcm_ok: a corrupted clip_id (row_idx
+      // null -> expected null) or a nulled transcript column makes the
+      // equality NULL, and a consumer filtering transcript_ok === false
+      // would miss exactly the damaged rows this checker exists to surface
       .withColumn("transcript_ok",
-        col("transcript") === expectedTranscript(col("row_idx")))
+        coalesce(col("transcript") === expectedTranscript(col("row_idx")), lit(false)))
       .select("clip_id", "snr_db", "pcm_ok", "transcript_ok")
   }
 }

@@ -60,9 +60,15 @@ object Ann {
     * (value-identical — AnnSpec pins the parity — and the UDF also dodges
     * the per-element HOF interpreter).
     */
-  def lshBucket(vq: Column, dim: Int, planes: Int, band: Int = 0): Column =
+  def lshBucket(vq: Column, dim: Int, planes: Int, band: Int = 0): Column = {
+    // 1L << p wraps mod 64 at planes >= 64: plane 64 would alias bit 0, the
+    // literal form's sum-of-bits would then CARRY into bit 1 while the
+    // broadcast form ORs — two silently-different (and both wrong) buckets.
+    // More bits per band than 63 is also pointless: split into more bands.
+    require(planes >= 1 && planes <= 63, s"planes must be in [1,63], got $planes")
     if (dim * planes <= literalPlaneLimit) lshBucketLiteral(vq, dim, planes, band)
     else lshBucketBroadcast(vq, dim, planes, band)
+  }
 
   /** Literal-array form (plan size O(dim x planes)). */
   private[embed] def lshBucketLiteral(vq: Column, dim: Int, planes: Int, band: Int): Column = {

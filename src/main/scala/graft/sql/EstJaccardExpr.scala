@@ -24,8 +24,6 @@ import org.apache.spark.sql.types._
   */
 case class EstJaccardExpr(left: Expression, right: Expression) extends BinaryExpression {
 
-  private val arrayLong = ArrayType(LongType, containsNull = false)
-
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -50,14 +48,19 @@ case class EstJaccardExpr(left: Expression, right: Expression) extends BinaryExp
 }
 
 object EstJaccardExpr {
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    * A null COMPONENT counts as unequal (the zip_with form's null
+    * semantics): getLong on a null slot reads garbage-as-0, and two null
+    * slots would otherwise compare 0 == 0 — a silent over-estimate for
+    * containsNull inputs the type check accepts.
+    */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val nA = a.numElements()
     val n = math.min(nA, b.numElements())
     var eq = 0
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) eq += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) eq += 1
       i += 1
     }
     if (nA == 0) 0.0 else eq.toDouble / nA

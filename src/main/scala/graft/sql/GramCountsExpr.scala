@@ -55,12 +55,16 @@ object GramCountsExpr {
     */
   def compute(u: UTF8String, n: Int): ArrayData = {
     val s = graft.text.Gram.enclosedIn(graft.text.Gram.normalized(u.toString), '-')
-    val last = s.length - n
+    // code-point windows, same as Gram.grams / ShinglesExpr
+    val starts = graft.text.Gram.cpStartsOrNull(s)
+    val last = (if (starts == null) s.length else starts.length - 1) - n
     if (last < 0) return new GenericArrayData(Array.empty[Any])
     val counts = new java.util.LinkedHashMap[String, Int]()
     var i = 0
     while (i <= last) {
-      val g = s.substring(i, i + n)
+      val g =
+        if (starts == null) s.substring(i, i + n)
+        else s.substring(starts(i), starts(i + n))
       counts.merge(g, 1, (a, b) => a + b)
       i += 1
     }

@@ -48,16 +48,23 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShinglesExpr {
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    * Windows are CODE POINTS (Gram.cpStartsOrNull): a window never splits
+    * a surrogate pair, so every gram round-trips UTF8String <-> String
+    * losslessly — identical to Gram.grams on every input.
+    */
   def compute(u: UTF8String, n: Int): ArrayData = {
     val s = graft.text.Gram.enclosedIn(graft.text.Gram.normalized(u.toString), '-')
-    val last = s.length - n
+    val starts = graft.text.Gram.cpStartsOrNull(s)
+    val last = (if (starts == null) s.length else starts.length - 1) - n
     if (last < 0) new GenericArrayData(Array.empty[Any])
     else {
       val arr = new Array[Any](last + 1)
       var i = 0
       while (i <= last) {
-        arr(i) = UTF8String.fromString(s.substring(i, i + n))
+        arr(i) = UTF8String.fromString(
+          if (starts == null) s.substring(i, i + n)
+          else s.substring(starts(i), starts(i + n)))
         i += 1
       }
       new GenericArrayData(arr)

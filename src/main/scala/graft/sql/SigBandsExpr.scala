@@ -34,13 +34,17 @@ case class SigBandsExpr(child: Expression, numHashes: Int, bands: Int, rowsPerBa
 
   override def dataType: DataType = SigBandsExpr.OutType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // gram-less rows -> null
 
   override def nullSafeEval(input: Any): Any =
     SigBandsExpr.compute(input.asInstanceOf[ArrayData], numHashes, bands, rowsPerBand)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.sql.SigBandsExpr.compute($c, $numHashes, $bands, $rowsPerBand)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (InternalRow) graft.sql.SigBandsExpr.compute(
+        $c, $numHashes, $bands, $rowsPerBand);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): SigBandsExpr =
     copy(child = newChild)
@@ -62,6 +66,13 @@ object SigBandsExpr {
     */
   def compute(grams: ArrayData, numHashes: Int, bands: Int, rowsPerBand: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val n = grams.numElements()
+    // NULL for a gram-less row, matching SigBandsFromKeyExpr: the folded
+    // state of zero grams is a CONSTANT (all-MaxValue signature, simhash
+    // 0), so every empty row would share identical band tokens — one
+    // quadratic LSH bucket per band on a corpus with many empty keys. The
+    // SQL surface (graft_sig_bands) reaches this without the index build's
+    // size(grams) > 0 guard.
+    if (n == 0) return null
     val state = new PortableHash.SigState(numHashes)
     // minhash needs first-occurrence detection over the multiset; dedup on
     // the UTF8String directly (byte-wise equals/hashCode), no String decode

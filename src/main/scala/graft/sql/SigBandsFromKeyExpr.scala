@@ -16,12 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * 16-byte scratch).
   *
   * Value-identical to `SigBandsExpr(ShinglesExpr(key, n), ...)` — same
-  * normalization (graft.text.Gram), same UTF-16 windowing (a window
-  * splitting a surrogate pair UTF-8-encodes the lone surrogate as '?' in
-  * both paths, because both go through String.getBytes semantics), same md5
-  * word parsing, same distinct-set minhash / multiset simhash — pinned by
-  * FunctionsSpec parity. Returns NULL when the normalized key has no
-  * n-gram (length < n after enclosure), mirroring the
+  * normalization (graft.text.Gram), same CODE-POINT windowing (a window
+  * never splits a surrogate pair — Gram.cpStartsOrNull — so every gram's
+  * UTF-8 bytes are well-formed in both paths), same md5 word parsing, same
+  * distinct-set minhash / multiset simhash — pinned by FunctionsSpec
+  * parity. Returns NULL when the normalized key has no n-gram (fewer than
+  * n code points after enclosure), mirroring the
   * `size(shingles(key, n)) > 0` filter the index build applies.
   *
   * Gram distinctness is keyed on the gram's md5 words (120 bits): two
@@ -65,15 +65,17 @@ object SigBandsFromKeyExpr {
     */
   def compute(u: UTF8String, n: Int, numHashes: Int, bands: Int, rowsPerBand: Int): InternalRow = {
     val s = graft.text.Gram.enclosedIn(graft.text.Gram.normalized(u.toString), '-')
-    val last = s.length - n
+    // code-point window starts (null = identity, the common case)
+    val starts = graft.text.Gram.cpStartsOrNull(s)
+    val last = (if (starts == null) s.length else starts.length - 1) - n
     if (last < 0) return null
 
     val state = new PortableHash.SigState(numHashes)
     val md = PortableHash.md5Reset()
     val out = new Array[Byte](16)
-    // one UTF-8 encode per ROW; when it is pure ASCII every UTF-16 window
-    // [i, i+n) is exactly bytes [i, i+n) of this buffer — md5 streams from
-    // it with zero per-gram allocation
+    // one UTF-8 encode per ROW; when it is pure ASCII every code-point
+    // window [i, i+n) is exactly bytes [i, i+n) of this buffer — md5
+    // streams from it with zero per-gram allocation
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ascii = bytes.length == s.length
 
@@ -92,7 +94,10 @@ object SigBandsFromKeyExpr {
     var i = 0
     while (i <= last) {
       if (ascii) md.update(bytes, i, n)
-      else md.update(s.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else md.update(
+        (if (starts == null) s.substring(i, i + n)
+         else s.substring(starts(i), starts(i + n)))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest(out, 0, 16) // writes in place and resets for the next window
       val h1full = PortableHash.digest60(out, 0)
       val h2full = PortableHash.digest60(out, 8)

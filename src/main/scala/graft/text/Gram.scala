@@ -15,13 +15,19 @@ object Gram {
     * (Lu Ll Lt Lm Lo Nd Nl No) — wider than Java's `isLetterOrDigit`
     * (which excludes Nl/No). Cite: Internal.hs:207.
     */
-  @inline def isAlphaNumRef(c: Char): Boolean = {
-    val t = Character.getType(c)
+  @inline def isAlphaNumRef(cp: Int): Boolean = {
+    val t = Character.getType(cp)
     t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
     t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
     t == Character.OTHER_LETTER || t == Character.DECIMAL_DIGIT_NUMBER ||
     t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
   }
+
+  /** Char form of [[isAlphaNumRef]] — a lone surrogate half classifies as
+    * SURROGATE (false), exactly as before; full supplementary-plane
+    * classification needs the code-point overload.
+    */
+  @inline def isAlphaNumRef(c: Char): Boolean = isAlphaNumRef(c.toInt)
 
   /** Haskell `Data.Char.isSpace`: ' ', \t..\r control range, NBSP, and the
     * Unicode Zs (space separator) category ONLY \u2014 GHC's generalCategory
@@ -29,21 +35,30 @@ object Gram {
     * separators are dropped by `normalized` like any other symbol.
     * Cite: Internal.hs:208.
     */
-  @inline def isSpaceRef(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r') || c == '\u00A0' ||
-      Character.getType(c) == Character.SPACE_SEPARATOR
+  @inline def isSpaceRef(cp: Int): Boolean =
+    cp == ' ' || (cp >= '\t' && cp <= '\r') || cp == 0xA0 ||
+      Character.getType(cp) == Character.SPACE_SEPARATOR
+
+  @inline def isSpaceRef(c: Char): Boolean = isSpaceRef(c.toInt)
 
   /** Lowercase + keep only alphanumerics, whitespace and ','
     * (Internal.hs:204-211). Note the reference lowercases BEFORE filtering.
+    * Iterates by CODE POINT: a supplementary-plane letter (CJK Ext-B, math
+    * alphanumerics) survives here like it does in the reference (whose
+    * Char IS a code point) and in functions.normText's \p{L} regex — the
+    * per-Char loop this replaces saw each surrogate half as category
+    * SURROGATE and silently dropped them. Downstream gram windows are
+    * code points too ([[cpStartsOrNull]]), so a window never splits a
+    * surrogate pair.
     */
   def normalized(input: String): String = {
     val lower = input.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(lower.length)
     var i = 0
     while (i < lower.length) {
-      val c = lower.charAt(i)
-      if (isAlphaNumRef(c) || isSpaceRef(c) || c == ',') sb.append(c)
-      i += 1
+      val cp = lower.codePointAt(i)
+      if (isAlphaNumRef(cp) || isSpaceRef(cp) || cp == ',') sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     sb.toString
   }
@@ -51,17 +66,45 @@ object Gram {
   /** `enclosedIn str '-'` (Utils.hs:26-27). */
   def enclosedIn(s: String, c: Char): String = s"$c$s$c"
 
+  /** UTF-16 start offset of every code point of `s`, plus the terminal
+    * offset — or NULL when every code point is one UTF-16 unit (the
+    * overwhelmingly common case), so window loops can take the
+    * offset==index fast path with zero allocation. Shared by [[grams]]
+    * and the native gram expressions: the reference's Char is a code
+    * point, so an n-gram is n CODE POINTS and never splits a surrogate
+    * pair (a split half cannot round-trip through UTF-8 columns —
+    * String.getBytes encodes it as '?').
+    */
+  private[graft] def cpStartsOrNull(s: String): Array[Int] = {
+    val len = s.length
+    val cps = s.codePointCount(0, len)
+    if (cps == len) return null
+    val starts = new Array[Int](cps + 1)
+    var i = 0
+    var k = 0
+    while (i < len) {
+      starts(k) = i
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    starts(cps) = len
+    starts
+  }
+
   /** Character n-grams of the normalized, hyphen-enclosed input; offsets
-    * 0..len-n (Internal.hs:191-197). Gram-count invariant for input of
-    * normalized length s: count = s - n + 3. Errors when n < 2 like the
+    * 0..len-n in CODE POINTS (Internal.hs:191-197 — Haskell Char = code
+    * point). Gram-count invariant for input of normalized length s (in
+    * code points): count = s - n + 3. Errors when n < 2 like the
     * reference (guard at Internal.hs:193).
     */
   def grams(input: String, n: Int): IndexedSeq[String] = {
     require(n >= 2, "gram size must be at least 2")
     val s = enclosedIn(normalized(input), '-')
-    val last = s.length - n
+    val starts = cpStartsOrNull(s)
+    val last = (if (starts == null) s.length else starts.length - 1) - n
     if (last < 0) Vector.empty
-    else (0 to last).map(i => s.substring(i, i + n))
+    else if (starts == null) (0 to last).map(i => s.substring(i, i + n))
+    else (0 to last).map(i => s.substring(starts(i), starts(i + n)))
   }
 
   /** Gram multiset: gram -> occurrence count (Internal.hs:161-164). */
@@ -78,8 +121,19 @@ object Gram {
     math.sqrt(acc)
   }
 
-  /** Plain Levenshtein edit distance (two-row DP). */
+  /** Plain Levenshtein edit distance (two-row DP) over CODE POINTS — the
+    * reference edits [Char] = [code point], and the column form
+    * (functions.levNormSim -> Spark's levenshtein/length) also counts code
+    * points, so an astral char costs ONE edit in both paths. BMP-only
+    * strings (the fast path) never allocate the code-point arrays.
+    */
   def levenshtein(a: String, b: String): Int = {
+    if (a.length == a.codePointCount(0, a.length) &&
+      b.length == b.codePointCount(0, b.length)) return levenshteinChars(a, b)
+    levenshteinInts(a.codePoints().toArray, b.codePoints().toArray)
+  }
+
+  private def levenshteinChars(a: String, b: String): Int = {
     if (a.isEmpty) return b.length
     if (b.isEmpty) return a.length
     var prev = Array.tabulate(b.length + 1)(identity)
@@ -99,12 +153,33 @@ object Gram {
     prev(b.length)
   }
 
+  private def levenshteinInts(a: Array[Int], b: Array[Int]): Int = {
+    if (a.length == 0) return b.length
+    if (b.length == 0) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
   /** Normalized Levenshtein SIMILARITY, `text-metrics levenshteinNorm`
-    * semantics: 1 - d/max(|a|,|b|); 1.0 when both empty
-    * (Internal.hs:231-232). Golden values at Spec.hs:758-771.
+    * semantics: 1 - d/max(|a|,|b|) with lengths in CODE POINTS; 1.0 when
+    * both empty (Internal.hs:231-232). Golden values at Spec.hs:758-771.
     */
   def levenshteinNorm(a: String, b: String): Double = {
-    val maxLen = math.max(a.length, b.length)
+    val maxLen = math.max(
+      a.codePointCount(0, a.length), b.codePointCount(0, b.length))
     if (maxLen == 0) 1.0
     else 1.0 - levenshtein(a, b).toDouble / maxLen
   }

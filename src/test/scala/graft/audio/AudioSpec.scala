@@ -133,6 +133,22 @@ class InvariantSpec extends AnyFunSuite with Matchers {
       .withColumn("transcript", concat(col("transcript"), lit("X")))
     Invariant.check(clips).filter("transcript_ok").count() shouldBe 0
   }
+
+  test("corrupted clip_id / null transcript read as transcript_ok=false, never NULL") {
+    import org.apache.spark.sql.functions._
+    // a mangled clip_id makes row_idx (and so the expected transcript)
+    // NULL; a consumer filtering transcript_ok = false must still see the
+    // damaged row — the very rows this checker exists to surface
+    val clips = ClipSynth.table(spark, 6)
+      .withColumn("clip_id",
+        when(col("clip_id").endsWith("2"), lit("mangled")).otherwise(col("clip_id")))
+      .withColumn("transcript",
+        when(col("clip_id").endsWith("3"), lit(null: String)).otherwise(col("transcript")))
+    val rep = Invariant.check(clips)
+    rep.filter("transcript_ok is null").count() shouldBe 0
+    rep.filter("not transcript_ok").count() shouldBe 2
+    rep.filter("transcript_ok").count() shouldBe 4
+  }
 }
 
 class ClipDedupSpec extends AnyFunSuite with Matchers {

@@ -192,4 +192,12 @@ class AnnSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long)].collect().toMap
     again shouldBe out
   }
+
+  test("lshBucket rejects planes outside [1,63]") {
+    // 1L << p wraps mod 64 at p >= 64: plane 64 would alias bit 0 and the
+    // literal/broadcast forms would silently diverge (carry vs OR)
+    an[IllegalArgumentException] should be thrownBy Ann.lshBucket(col("v"), 16, 64)
+    an[IllegalArgumentException] should be thrownBy Ann.lshBucket(col("v"), 16, 0)
+    noException should be thrownBy Ann.lshBucket(col("v"), 16, 63)
+  }
 }

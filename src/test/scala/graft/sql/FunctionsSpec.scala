@@ -19,7 +19,8 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     "Smarty Pants", "trentsauntsrestaurant",
     "buffalo buffalo buffalo buffalo buffalo buffalo",
     "café au lait", "", "!!!", "a", "ab",
-    "tab\there", "comma, stays", "North Dakota")
+    "tab\there", "comma, stays", "North Dakota",
+    "math 𝐀 and 𠀡 stay, 😀 drops") // astral: \p{L} regex vs code-point kernel
 
   test("normText column == Gram.normalized") {
     val out = fixtures.toDF("s").select($"s", functions.normText($"s") as "n")
@@ -40,7 +41,10 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     val pairs = Seq(
       ("hello", "yello"), ("fellow", "yello"), ("propeller", "teller"),
       ("balloon", "electron"), ("technology", "logic"), ("sawa", "sawa"),
-      ("fez", "baz"), ("", ""), ("", "abc"))
+      ("fez", "baz"), ("", ""), ("", "abc"),
+      // astral: Spark's levenshtein/length count code points — the kernel
+      // must agree (one astral swap = ONE edit over length-3 strings)
+      ("a𝐀b", "a𠀡b"), ("𝐀", "𝐀"))
     val out = pairs.toDF("a", "b")
       .select($"a", $"b", functions.levNormSim($"a", $"b") as "d")
       .as[(String, String, Double)].collect()
@@ -160,7 +164,8 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       "ab", // exactly one gram at n=3 after '-ab-' enclosure? (len 4 >= 3)
       "", // empty -> no grams -> NULL
       "!!!", // normalizes to empty -> '-'||''||'-' is len 2 < 3 -> NULL
-      "x😀y" // astral char: UTF-16 windows may split the surrogate pair
+      "x😀y", // astral NON-letter: dropped whole by normalization
+      "a𝐀b 𠀡c" // astral LETTERS kept: windows are code points, never split
     )
     val df = keys.zipWithIndex.map { case (k, i) => (i, k) }.toDF("i", "key").repartition(2)
     val fused = df.select($"i",
@@ -180,6 +185,38 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     f.map(_._1) shouldBe keys.indices.filterNot(i => keys(i) == "" || keys(i) == "!!!")
     // and the fused kernel stays inside whole-stage codegen
     fused.queryExecution.executedPlan.toString should include("*(")
+  }
+
+  test("gram-less rows: sigBands is NULL, minhash folds to the MaxValue identity") {
+    // a constant all-MaxValue signature on every empty row would put all
+    // of them in ONE LSH bucket per band (quadratic); the SQL surface
+    // reaches sigBands without the index build's size(grams) > 0 guard
+    val df = Seq((1, Seq.empty[String]), (2, Seq("-ab-", "ab-x"))).toDF("i", "g")
+      .repartition(2)
+    val out = df.select($"i",
+      functions.sigBands($"g", 8, 4, 2).as("ss"),
+      functions.minhashFromHashes(functions.gramHashPairs($"g"), 8).as("mh"))
+      .collect().sortBy(_.getInt(0))
+    out(0).isNullAt(1) shouldBe true
+    // == PortableHash.SigState's fold identity for zero grams
+    out(0).getSeq[Long](2) shouldBe Seq.fill(8)(Long.MaxValue)
+    out(1).isNullAt(1) shouldBe false
+    out(1).getSeq[Long](2).exists(_ != Long.MaxValue) shouldBe true
+  }
+
+  test("estJaccard counts a null component as unequal (zip_with null parity)") {
+    import org.apache.spark.sql.{functions => F}
+    val df = Seq((
+      Seq[Option[Long]](Some(1L), None, Some(3L), None),
+      Seq[Option[Long]](Some(1L), None, Some(4L), Some(5L)))).toDF("a", "b")
+    // idx0 equal; idx1 null-vs-null is UNEQUAL (getLong on a null slot
+    // reads garbage-as-0 and would silently over-estimate); idx2/3 unequal
+    val out = df.select(functions.estJaccard($"a", $"b").as("native"),
+      (F.aggregate(F.zip_with($"a", $"b", (x, y) => F.when(x === y, 1).otherwise(0)),
+        F.lit(0), (acc, x) => acc + x).cast("double") / F.size($"a")).as("hof"))
+      .as[(Double, Double)].collect()(0)
+    out._1 shouldBe 0.25 +- 1e-12
+    out._1 shouldBe out._2 +- 1e-12
   }
 
   test("estJaccard (native expr) matches the HOF column formula it replaced") {

@@ -94,6 +94,24 @@ class GramSpec extends AnyFunSuite with Matchers {
     Gram.normalized("aFl1pP!.,nG FL0^ppy+") shouldBe "afl1pp,ng fl0ppy"
     Gram.normalized("Destroido Corp.") shouldBe "destroido corp"
   }
+
+  test("normalized iterates by code point (reference Char IS a code point)") {
+    // supplementary-plane LETTERS survive: U+1D400 MATHEMATICAL BOLD
+    // CAPITAL A (Lu, no lowercase mapping), U+20021 CJK Ext-B (Lo) —
+    // GHC's isAlphaNum keeps both; a per-Char loop would classify each
+    // surrogate half as category Cs and drop them
+    Gram.normalized("a𝐀b") shouldBe "a𝐀b"
+    Gram.normalized("x𠀡y") shouldBe "x𠀡y"
+    // non-alphanumeric astral (emoji U+1F600, So) dropped whole
+    Gram.normalized("x😀y") shouldBe "xy"
+    // a LONE surrogate half is category Cs -> dropped, as before
+    Gram.normalized("x\uD835y") shouldBe "xy"
+    // gram windows are n CODE POINTS and never split a surrogate pair
+    Gram.grams("a𝐀b", 3) shouldBe Vector("-a𝐀", "a𝐀b", "𝐀b-")
+    // levenshtein edits code points: swapping one astral char is ONE edit
+    Gram.levenshtein("a𝐀b", "a𠀡b") shouldBe 1
+    Gram.levenshteinNorm("a𝐀b", "a𠀡b") shouldBe (1.0 - 1.0 / 3) +- 1e-12
+  }
 }
 
 /** Property layer (SURVEY.md §5 engine test plan (b)); seeded random
