@@ -61,10 +61,12 @@ object Ann {
     * the per-element HOF interpreter).
     */
   def lshBucket(vq: Column, dim: Int, planes: Int, band: Int = 0): Column = {
-    // 1L << p wraps mod 64 at planes >= 64: plane 64 would alias bit 0, the
-    // literal form's sum-of-bits would then CARRY into bit 1 while the
-    // broadcast form ORs — two silently-different (and both wrong) buckets.
-    // More bits per band than 63 is also pointless: split into more bands.
+    // 63 is the honest Long capacity: plane 63 would set the sign bit
+    // (negative bucket keys, breaking the documented [0, 2^planes) range),
+    // and at planes >= 65 the shift wraps mod 64 — plane 64 aliases bit 0,
+    // the literal form's sum-of-bits CARRIES into bit 1 while the broadcast
+    // form ORs, two silently-different (and both wrong) buckets. More bits
+    // per band than this are pointless anyway: split into more bands.
     require(planes >= 1 && planes <= 63, s"planes must be in [1,63], got $planes")
     if (dim * planes <= literalPlaneLimit) lshBucketLiteral(vq, dim, planes, band)
     else lshBucketBroadcast(vq, dim, planes, band)

@@ -34,11 +34,19 @@ case class EstJaccardExpr(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  /** Baked at plan time: production signatures are containsNull = false,
+    * so the dominant path skips the per-component null bitmap tests.
+    */
+  private def mayHaveNulls: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    EstJaccardExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    EstJaccardExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mayHaveNulls)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.EstJaccardExpr.compute($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.EstJaccardExpr.compute($a, $b, $mayHaveNulls)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,
@@ -49,19 +57,28 @@ case class EstJaccardExpr(left: Expression, right: Expression) extends BinaryExp
 
 object EstJaccardExpr {
   /** Static entry point shared by interpreted eval and generated code.
-    * A null COMPONENT counts as unequal (the zip_with form's null
-    * semantics): getLong on a null slot reads garbage-as-0, and two null
-    * slots would otherwise compare 0 == 0 — a silent over-estimate for
-    * containsNull inputs the type check accepts.
+    * When `mayHaveNulls`, a null COMPONENT counts as unequal (the
+    * zip_with form's null semantics): getLong on a null slot reads
+    * garbage-as-0, and two null slots would otherwise compare 0 == 0 — a
+    * silent over-estimate for containsNull inputs the type check accepts.
+    * The flag is a plan-time constant from the input ArrayTypes, so the
+    * production no-nulls loop carries no per-component bitmap tests.
     */
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  def compute(a: ArrayData, b: ArrayData, mayHaveNulls: Boolean): Double = {
     val nA = a.numElements()
     val n = math.min(nA, b.numElements())
     var eq = 0
     var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) eq += 1
-      i += 1
+    if (mayHaveNulls) {
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) eq += 1
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) eq += 1
+        i += 1
+      }
     }
     if (nA == 0) 0.0 else eq.toDouble / nA
   }

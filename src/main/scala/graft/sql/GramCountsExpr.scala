@@ -57,15 +57,12 @@ object GramCountsExpr {
     val s = graft.text.Gram.enclosedIn(graft.text.Gram.normalized(u.toString), '-')
     // code-point windows, same as Gram.grams / ShinglesExpr
     val starts = graft.text.Gram.cpStartsOrNull(s)
-    val last = (if (starts == null) s.length else starts.length - 1) - n
-    if (last < 0) return new GenericArrayData(Array.empty[Any])
+    val nWin = graft.text.Gram.windowCount(s, starts, n)
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
     val counts = new java.util.LinkedHashMap[String, Int]()
     var i = 0
-    while (i <= last) {
-      val g =
-        if (starts == null) s.substring(i, i + n)
-        else s.substring(starts(i), starts(i + n))
-      counts.merge(g, 1, (a, b) => a + b)
+    while (i < nWin) {
+      counts.merge(graft.text.Gram.window(s, starts, i, n), 1, (a, b) => a + b)
       i += 1
     }
     val out = new Array[Any](counts.size)

@@ -56,15 +56,13 @@ object ShinglesExpr {
   def compute(u: UTF8String, n: Int): ArrayData = {
     val s = graft.text.Gram.enclosedIn(graft.text.Gram.normalized(u.toString), '-')
     val starts = graft.text.Gram.cpStartsOrNull(s)
-    val last = (if (starts == null) s.length else starts.length - 1) - n
-    if (last < 0) new GenericArrayData(Array.empty[Any])
+    val count = graft.text.Gram.windowCount(s, starts, n)
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
     else {
-      val arr = new Array[Any](last + 1)
+      val arr = new Array[Any](count)
       var i = 0
-      while (i <= last) {
-        arr(i) = UTF8String.fromString(
-          if (starts == null) s.substring(i, i + n)
-          else s.substring(starts(i), starts(i + n)))
+      while (i < count) {
+        arr(i) = UTF8String.fromString(graft.text.Gram.window(s, starts, i, n))
         i += 1
       }
       new GenericArrayData(arr)

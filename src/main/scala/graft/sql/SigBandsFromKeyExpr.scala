@@ -67,8 +67,8 @@ object SigBandsFromKeyExpr {
     val s = graft.text.Gram.enclosedIn(graft.text.Gram.normalized(u.toString), '-')
     // code-point window starts (null = identity, the common case)
     val starts = graft.text.Gram.cpStartsOrNull(s)
-    val last = (if (starts == null) s.length else starts.length - 1) - n
-    if (last < 0) return null
+    val windows = graft.text.Gram.windowCount(s, starts, n)
+    if (windows <= 0) return null
 
     val state = new PortableHash.SigState(numHashes)
     val md = PortableHash.md5Reset()
@@ -83,7 +83,6 @@ object SigBandsFromKeyExpr {
     // 60-bit md5 words — no boxing (a HashSet of boxed pairs would undo
     // the pass's allocation win). Capacity 2x the window count keeps the
     // load factor <= 0.5; md5 words are uniform, so (h1 ^ h2) probes well.
-    val windows = last + 1
     var cap = 4
     while (cap < windows * 2) cap <<= 1
     val mask = cap - 1
@@ -92,12 +91,10 @@ object SigBandsFromKeyExpr {
     val seenUsed = new Array[Boolean](cap)
 
     var i = 0
-    while (i <= last) {
+    while (i < windows) {
       if (ascii) md.update(bytes, i, n)
-      else md.update(
-        (if (starts == null) s.substring(i, i + n)
-         else s.substring(starts(i), starts(i + n)))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      else md.update(graft.text.Gram.window(s, starts, i, n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest(out, 0, 16) // writes in place and resets for the next window
       val h1full = PortableHash.digest60(out, 0)
       val h2full = PortableHash.digest60(out, 8)

@@ -123,18 +123,22 @@ object functions {
 
   /** MinHash signature from a materialized [[gramHashPairs]] column:
     * hash_k(g) = (h1(g) + k * h2(g)) mod P (Kirsch-Mitzenmacher).
-    * Empty input folds to Long.MaxValue components (array_min of an empty
-    * array is SQL NULL), keeping this form value-identical to
-    * PortableHash.sigAndSimhash's fold identity for gram-less rows.
+    * An EMPTY array folds to Long.MaxValue components (array_min of an
+    * empty array is SQL NULL), keeping this form value-identical to
+    * PortableHash.sigAndSimhash's fold identity for gram-less rows; a
+    * NULL input stays NULL — manufacturing the identity for NULL rows
+    * would give them all the same real signature and identical band
+    * tokens, one quadratic LSH bucket per band.
     */
   def minhashFromHashes(hashPairs: Column, numHashes: Int): Column =
-    F.transform(
-      F.sequence(F.lit(0), F.lit(numHashes - 1)),
-      k =>
-        F.coalesce(
-          F.array_min(
-            F.transform(hashPairs, h => (h.getField("h1") + k * h.getField("h2")) % HashP)),
-          F.lit(Long.MaxValue)))
+    F.when(hashPairs.isNotNull,
+      F.transform(
+        F.sequence(F.lit(0), F.lit(numHashes - 1)),
+        k =>
+          F.coalesce(
+            F.array_min(
+              F.transform(hashPairs, h => (h.getField("h1") + k * h.getField("h2")) % HashP)),
+            F.lit(Long.MaxValue))))
 
   /** One-shot convenience for small/query-scale inputs; index builds use
     * the two-step gramHashPairs -> minhashFromHashes split instead.

@@ -23,12 +23,6 @@ object Gram {
     t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
   }
 
-  /** Char form of [[isAlphaNumRef]] — a lone surrogate half classifies as
-    * SURROGATE (false), exactly as before; full supplementary-plane
-    * classification needs the code-point overload.
-    */
-  @inline def isAlphaNumRef(c: Char): Boolean = isAlphaNumRef(c.toInt)
-
   /** Haskell `Data.Char.isSpace`: ' ', \t..\r control range, NBSP, and the
     * Unicode Zs (space separator) category ONLY \u2014 GHC's generalCategory
     * check does NOT admit Zl/Zp (U+2028/U+2029), so line/paragraph
@@ -38,8 +32,6 @@ object Gram {
   @inline def isSpaceRef(cp: Int): Boolean =
     cp == ' ' || (cp >= '\t' && cp <= '\r') || cp == 0xA0 ||
       Character.getType(cp) == Character.SPACE_SEPARATOR
-
-  @inline def isSpaceRef(c: Char): Boolean = isSpaceRef(c.toInt)
 
   /** Lowercase + keep only alphanumerics, whitespace and ','
     * (Internal.hs:204-211). Note the reference lowercases BEFORE filtering.
@@ -91,6 +83,20 @@ object Gram {
     starts
   }
 
+  /** Number of n-code-point windows of `s` (may be <= 0); `starts` is
+    * [[cpStartsOrNull]] of `s`. The single definition of the windowing
+    * arithmetic shared by [[grams]] and the three native gram expressions
+    * — the four paths are parity-pinned, so divergence must be impossible
+    * by construction, not merely test-caught.
+    */
+  @inline private[graft] def windowCount(s: String, starts: Array[Int], n: Int): Int =
+    (if (starts == null) s.length else starts.length - 1) - n + 1
+
+  /** The i-th n-code-point window of `s`; see [[windowCount]]. */
+  @inline private[graft] def window(s: String, starts: Array[Int], i: Int, n: Int): String =
+    if (starts == null) s.substring(i, i + n)
+    else s.substring(starts(i), starts(i + n))
+
   /** Character n-grams of the normalized, hyphen-enclosed input; offsets
     * 0..len-n in CODE POINTS (Internal.hs:191-197 — Haskell Char = code
     * point). Gram-count invariant for input of normalized length s (in
@@ -101,10 +107,9 @@ object Gram {
     require(n >= 2, "gram size must be at least 2")
     val s = enclosedIn(normalized(input), '-')
     val starts = cpStartsOrNull(s)
-    val last = (if (starts == null) s.length else starts.length - 1) - n
-    if (last < 0) Vector.empty
-    else if (starts == null) (0 to last).map(i => s.substring(i, i + n))
-    else (0 to last).map(i => s.substring(starts(i), starts(i + n)))
+    val count = windowCount(s, starts, n)
+    if (count <= 0) Vector.empty
+    else (0 until count).map(i => window(s, starts, i, n))
   }
 
   /** Gram multiset: gram -> occurrence count (Internal.hs:161-164). */

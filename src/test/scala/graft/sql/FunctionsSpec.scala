@@ -191,17 +191,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     // a constant all-MaxValue signature on every empty row would put all
     // of them in ONE LSH bucket per band (quadratic); the SQL surface
     // reaches sigBands without the index build's size(grams) > 0 guard
-    val df = Seq((1, Seq.empty[String]), (2, Seq("-ab-", "ab-x"))).toDF("i", "g")
+    val df = Seq(
+      (0, Option.empty[Seq[String]]), // NULL input stays NULL, not identity
+      (1, Some(Seq.empty[String])),
+      (2, Some(Seq("-ab-", "ab-x")))).toDF("i", "g")
       .repartition(2)
     val out = df.select($"i",
       functions.sigBands($"g", 8, 4, 2).as("ss"),
       functions.minhashFromHashes(functions.gramHashPairs($"g"), 8).as("mh"))
       .collect().sortBy(_.getInt(0))
     out(0).isNullAt(1) shouldBe true
+    out(0).isNullAt(2) shouldBe true
+    out(1).isNullAt(1) shouldBe true
     // == PortableHash.SigState's fold identity for zero grams
-    out(0).getSeq[Long](2) shouldBe Seq.fill(8)(Long.MaxValue)
-    out(1).isNullAt(1) shouldBe false
-    out(1).getSeq[Long](2).exists(_ != Long.MaxValue) shouldBe true
+    out(1).getSeq[Long](2) shouldBe Seq.fill(8)(Long.MaxValue)
+    out(2).isNullAt(1) shouldBe false
+    out(2).getSeq[Long](2).exists(_ != Long.MaxValue) shouldBe true
   }
 
   test("estJaccard counts a null component as unequal (zip_with null parity)") {
