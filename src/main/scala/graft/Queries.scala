@@ -272,7 +272,13 @@ object Queries {
           .join(nrm.select(col("doc_id").as("item_id"), col("mag").as("imag")), Seq("item_id"))
           .withColumn("cosine", col("dot") / (col("qmag") * col("imag")))
           .join(d.select(col("doc_id").as("item_id"), col("key")), Seq("item_id"))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("key"))
+        // item_id as the final tiebreak: this query is per-DOC by design,
+        // so exact-duplicate texts tie on BOTH cosine and key — without it
+        // a tie split across the rank-50 boundary lets the two engines
+        // keep different item_ids (the reference never ties: its set is
+        // key-deduped at insert)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("key"), col("item_id"))
         cos.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 50)
           .join(d.select(col("doc_id").as("query_id"), col("key").as("qkey")), Seq("query_id"))
@@ -288,8 +294,8 @@ object Queries {
          |cos as (select query_id, item_id, k.key, dot/(a.mag*b.mag) as cosine
          |        from dots join cn3 a on a.doc_id = query_id join cn3 b on b.doc_id = item_id
          |        join keys k on k.doc_id = item_id),
-         |rk as (select *, row_number() over (partition by query_id order by cosine desc, key) as rn
-         |       from cos),
+         |rk as (select *, row_number() over (partition by query_id
+         |       order by cosine desc, key, item_id) as rn from cos),
          |lv as (select r.query_id, r.item_id,
          |              1.0 - levenshtein(q.key, r.key)::DOUBLE/greatest(length(q.key), length(r.key)) as score
          |       from rk r join keys q on q.doc_id = r.query_id where r.rn <= 50)
@@ -304,7 +310,12 @@ object Queries {
         // stop-list OFF (maxPostingsPerGram = 0): the DuckDB oracle models
         // the reference exactly and has no stop-list; at sf<=0.1 no gram's
         // df approaches the 10k default anyway, so this pins parity at ANY
-        // corpus size instead of silently diverging past 10k df
+        // corpus size instead of silently diverging past 10k df.
+        // The oracle's keys CTE dedups documents to ITEMS (first writer
+        // per lower(text), winner by STRING-min doc_id like IndexBuild's
+        // cast) — the reference dedups at insert, so an exact-duplicate
+        // doc must not score as a second match row (caught at sf0.1,
+        // where a planted dup pair lands in one probe's top-50)
         val pipe = FuzzyPipeline(s, d, "doc_id", "text", FuzzyConf(maxPostingsPerGram = 0))
         val probes = d.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").cast("string").as("query_id"),
@@ -314,12 +325,14 @@ object Queries {
             round(col("score"), 6).as("score"), col("matched"), col("gram_size"))
           .orderBy("query_id", "matched")
       },
-      s"""with keys as (select doc_id, lower(text) as key, text from documents),
+      s"""with keys as (select min(doc_id) as doc_id, lower(text) as key,
+         |  min_by(text, doc_id::VARCHAR) as text
+         |  from documents group by lower(text)),
          |probes as (select doc_id as query_id, lower(text)||' zz' as qkey,
          |  '-'||regexp_replace(lower(text)||' zz','[^a-z0-9 ,]','','g')||'-' as qs
          |  from documents where doc_id % 50 = 0),
-         |${sqlGramCtes(3)},
-         |${sqlGramCtes(2)},
+         |${sqlGramCtes(3, "where doc_id in (select doc_id from keys)")},
+         |${sqlGramCtes(2, "where doc_id in (select doc_id from keys)")},
          |${sqlFindPass(3, "")},
          |${sqlFindPass(2, "where query_id not in (select distinct query_id from found3)")}
          |select query_id, round(score,6) as score, matched, gram_size::INTEGER as gram_size
