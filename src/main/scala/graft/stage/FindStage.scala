@@ -103,6 +103,20 @@ object FindStage {
     // unchanged; below the threshold (default 10k) behavior is exactly the
     // reference's. Documented divergence above it. Computed ONCE for every
     // gram size (round 1 re-ran the df aggregation per cascade size).
+    // SMALL-CORPUS SPREAD (guide §2: shuffles are sized by bytes, this work
+    // by CPU): the dots join below fans each posting row out once per probe
+    // sharing its gram — on a dense-vocabulary corpus that is tens of
+    // millions of join+agg operations over a byte-tiny table, and AQE's
+    // size-based coalescing serializes them onto 1-2 tasks (measured 17-33 s
+    // single-task stages on the sf0.1 documents corpus, whose 1.5M gram
+    // occurrences span only 432 distinct trigrams). When the pipeline's
+    // leaf-stats gate certified the corpus small (IndexTables
+    // .spreadParallelism > 0), an explicit round-robin exchange — cost
+    // bounded by the gate — spreads the scan to cluster width; corpus-scale
+    // indexes keep the no-shuffle broadcast-probe plan untouched.
+    val postingsSrc =
+      if (idx.spreadParallelism > 0) idx.postings.repartition(idx.spreadParallelism)
+      else idx.postings
     val post =
       if (conf.maxPostingsPerGram > 0) {
         val ok = idx.postings
@@ -110,8 +124,8 @@ object FindStage {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= conf.maxPostingsPerGram)
           .select("gram_size", "gram")
-        idx.postings.join(ok, Seq("gram_size", "gram"), "left_semi")
-      } else idx.postings
+        postingsSrc.join(ok, Seq("gram_size", "gram"), "left_semi")
+      } else postingsSrc
 
     // probe-side tables are query-workload sized when smallProbes: hint
     // them broadcast so the corpus-sized postings/norms sides are never
@@ -121,6 +135,7 @@ object FindStage {
     var remaining = probes
     var acc: Option[DataFrame] = None
 
+    val lastSize = conf.sizesDesc.last
     for (n <- conf.sizesDesc) {
       val qg = qgrams(remaining, n)
       val qnorm = qg.groupBy("query_id").agg(sqrt(sum(col("qcnt") * col("qcnt"))).as("qmag"))
@@ -154,10 +169,22 @@ object FindStage {
         } else withKeys.withColumn("score", col("cosine"))
 
       val passed = scored.filter(col("score") >= minScore)
-      val found =
+      val foundRaw =
         (if (excludeSelf) passed.filter(col("item_id") =!= col("query_id")) else passed)
           .select(col("query_id"), col("score"), col("original").as("matched"),
             col("item_id").as("matched_id"), lit(n).as("gram_size"))
+      // Materialize each non-final size's matches ONCE (lazy, serialized
+      // blocks): `found` feeds the result union AND — via the `remaining`
+      // anti-join — both the next size's gram derivation and its probe
+      // join, so without a checkpoint the whole size-n subtree (the dots
+      // join, the window, the rerank) is re-planned and re-executed once
+      // per consumer (profiler: twin 15.5 s stages computing the identical
+      // size-3 pass concurrently on q_audio_dedup). Blocks are match-sized
+      // (probes x top-50 in lev mode), released with the session.
+      val found =
+        if (n == lastSize) foundRaw
+        else foundRaw.localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
       acc = Some(acc.map(_.unionByName(found)).getOrElse(found))
       remaining = remaining.join(found.select("query_id").distinct(), Seq("query_id"), "left_anti")

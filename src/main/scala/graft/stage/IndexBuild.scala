@@ -26,7 +26,14 @@ final case class IndexTables(
     postings: DataFrame, // (gram_size, gram, item_id, cnt)
     norms: DataFrame, // (item_id, gram_size, magnitude)
     sigs: DataFrame, // (item_id, sig: array<long>, simhash: long, band_hashes: array<long>)
-    bands: DataFrame // (item_id, band_key: long)
+    bands: DataFrame, // (item_id, band_key: long)
+    // When > 0, the corpus is PROVABLY SMALL (leaf-stats gate in
+    // FuzzyPipeline): compute-dense posting scans may be spread over this
+    // many partitions by an explicit exchange. The cost of that exchange is
+    // bounded by the small-input gate; a corpus-scale index keeps 0 and its
+    // postings are never repartitioned (the broadcast-probe design never
+    // shuffles them at all). See FindStage.cascade.
+    spreadParallelism: Int = 0
 )
 
 object IndexBuild {
@@ -52,7 +59,8 @@ object IndexBuild {
       idCol: String,
       textCol: String,
       conf: FuzzyConf,
-      mat: (String, DataFrame) => DataFrame = (_, df) => df): IndexTables = {
+      mat: (String, DataFrame) => DataFrame = (_, df) => df,
+      spreadParallelism: Int = 0): IndexTables = {
     val keyed = input
       .select(col(idCol).cast("string").as("clip_id"), col(textCol).as("original"))
       .withColumn("key", lower(col("original")))
@@ -84,7 +92,7 @@ object IndexBuild {
     val bands = mat("bands", sigs
       .select(col("item_id"), explode(col("band_hashes")).as("band_key")))
 
-    IndexTables(conf, items, members, postings, norms, sigs, bands)
+    IndexTables(conf, items, members, postings, norms, sigs, bands, spreadParallelism)
   }
 
   /** Postings + norms as pure map-side projections of an `items` table

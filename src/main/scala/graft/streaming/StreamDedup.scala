@@ -153,8 +153,21 @@ object StreamDedup {
       .withColumn("key", lower(col("original")))
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
 
+    // independent state-table actions below overlap from a side thread
+    // (guide §2.6: actions are serial only because the driver calls them
+    // serially; the members upsert touches only the members dir, which
+    // nothing else in this batch reads, so overlapping it with the
+    // sigs/keys/pairs chain hides its full serial latency). Joined before
+    // the edges commit so a batch never marks itself committed with its
+    // members write still in flight.
+    val sideErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    var sideThread: Thread = null
+
     // the batch's per-key winner, deterministically (a distributed batch
     // has no row order — same rule as IndexBuild/TableIO.upsert)
+    def label(l: String): Unit =
+      spark.sparkContext.setJobDescription(s"stream b$batchId: $l")
+    label("items upsert")
     val batchItems = keyed
       .groupBy("key")
       .agg(min("clip_id").as("item_id"), min_by(col("original"), col("clip_id")).as("original"))
@@ -168,8 +181,23 @@ object StreamDedup {
       .select("clip_id", "key")
       .join(items.select("key", "item_id"), Seq("key"))
       .select("clip_id", "item_id")
-      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
-    TableIO.upsert(spark, s"$stateDir/members", batchMembers, "clip_id")
+      // EAGER: both the overlapped members upsert and the exact-edge branch
+      // below consume it — materializing before the side thread starts
+      // keeps the two consumers on blocks instead of racing to compute the
+      // same lazy checkpoint
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    sideThread = new Thread(
+      () =>
+        try {
+          spark.sparkContext.setJobDescription(s"stream b$batchId: members upsert")
+          TableIO.upsert(spark, s"$stateDir/members", batchMembers, "clip_id")
+        } catch { case t: Throwable => sideErr.set(t) },
+      "graft-members-upsert")
+    sideThread.start()
+    // everything below runs under a finally that JOINS the side thread: a
+    // mid-batch failure must not leave the members upsert mutating state
+    // dirs while the caller replays the batch
+    try {
 
     // genuinely-new items = batch winners that WON their key in state AND
     // whose fused keys are not already in the keys state from an EARLIER
@@ -190,10 +218,17 @@ object StreamDedup {
     val newItems = items
       .join(batchItems.select("item_id"), Seq("item_id"), "left_semi")
       .join(seenIds, Seq("item_id"), "left_anti")
-    TableIO.upsert(spark, s"$stateDir/sigs",
-      IndexBuild.signatures(newItems, conf), "item_id")
-    val allSigs = spark.read.parquet(s"$stateDir/sigs")
-    val newSigs = allSigs.join(newItems.select("item_id"), Seq("item_id"), "left_semi")
+    // the batch's signature delta IS newSigs: newItems are by construction
+    // absent from the keys state, and the insert-only sigs upsert writes
+    // exactly these deterministic rows (a crash-replay recomputes the same
+    // values, and the upsert no-ops) — so re-reading the whole sigs state
+    // back and semi-joining it down to newItems (two state scans per
+    // micro-batch) reproduced this very frame. Checkpointed: consumed by
+    // the upsert AND by fusedKeyed below.
+    label("sigs upsert")
+    val newSigs = IndexBuild.signatures(newItems, conf)
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    TableIO.upsert(spark, s"$stateDir/sigs", newSigs, "item_id")
 
     // fused-KEY state: this batch's key rows land partitioned by batch_id
     // (dynamic overwrite — a replay rewrites identical rows), so candidate
@@ -205,17 +240,26 @@ object StreamDedup {
     // signature kernel) re-runs for each
     val newKeys = Candidates.fusedKeyed(newSigs)
       .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    label("keys write")
     newKeys
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$stateDir/keys")
-    // a keys dir can be absent only while state holds zero items (every
-    // batch so far added none) — same fileless-read contract as edges()
+    // accumulated key state = EARLIER batches' partitions (from parquet;
+    // the current batch's partition is excluded — after the dynamic
+    // overwrite above its content is exactly newKeys) + the batch's own
+    // keys straight from their just-materialized blocks, so the state scan
+    // never re-reads what this batch just wrote. A keys dir can be absent
+    // only while state holds zero items — same fileless-read contract as
+    // edges()
     val allKeys = readState(spark, s"$stateDir/keys")(
-      _.select("bkey", "ktype", "item_id", "sh"))(newKeys.limit(0))
+      _.filter(col("batch_id") =!= lit(batchId))
+        .select("bkey", "ktype", "item_id", "sh"))(newKeys.limit(0))
+      .unionByName(newKeys.select("bkey", "ktype", "item_id", "sh"))
 
+    label("candidate pairs")
     val scratch = new graft.stage.Scratch()
     val pairs = Candidates
       .incrementalPairsFromKeys(newKeys, allKeys, maxHamming = 3, conf.maxSaltedBucket, scratch)
@@ -223,9 +267,16 @@ object StreamDedup {
     // the batch scratch rides into verifyPairs too: in cosine mode it
     // localCheckpoints gated pairs + pruned postings internally, and the
     // default noop scratch would pin those blocks forever — one leaked
-    // candidate+postings-sized block set per micro-batch
+    // candidate+postings-sized block set per micro-batch.
+    // LEAN index view: verification reads items (item_id, key) + sigs (lev
+    // mode) or the postings/norms projections of items (cosine mode) —
+    // never n_members — so the public stateIndex's members-wide
+    // aggregation join would re-scan the WHOLE members state every
+    // micro-batch just to build a column the verifier drops: O(|state|)
+    // per batch for nothing at 10^12 rows
+    label("verify+edges write")
     val fuzzy = FindStage.verifyPairs(
-      pairs, stateIndex(spark, stateDir, conf), conf.minScore, scratch)
+      pairs, stateIndexLean(spark, stateDir, conf), conf.minScore, scratch)
 
     // exact edges: only for clips whose edge is not already committed by an
     // EARLIER batch. Under at-least-once delivery a loser clip can be
@@ -258,15 +309,23 @@ object StreamDedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$stateDir/edges")
-    writeCommittedBatch(spark, stateDir, batchId)
-
-    // the edges write above is the last consumer of pairs AND of the pruned
-    // key membership incrementalPairsFromKeys tracked — release everything
+    // the edges write above is the last consumer of pairs AND of the
+    // pruned key membership incrementalPairsFromKeys tracked — release
+    // them here (batchMembers waits: the side thread's members upsert
+    // still reads its blocks)
     scratch.release()
-    Seq(pairs, batchMembers, newKeys, keyed).foreach { df =>
+    Seq(pairs, newKeys, newSigs, keyed).foreach { df =>
       org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(df)
         .foreach(_.unpersist(blocking = false))
     }
+    } finally sideThread.join()
+    // the overlapped members upsert must be durably finished (and any
+    // failure propagated) before the batch is marked committed
+    if (sideErr.get() != null) throw sideErr.get()
+    writeCommittedBatch(spark, stateDir, batchId)
+    spark.sparkContext.setJobDescription(null)
+    org.apache.spark.sql.GraftColumnBridge.checkpointedRdd(batchMembers)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** The state tables as the batch kernel's IndexTables view, so
@@ -277,6 +336,23 @@ object StreamDedup {
     * projections never materialize corpus-wide here either (lev mode, the
     * default, reads only items + sigs).
     */
+  /** [[stateIndex]] minus the n_members aggregation: the per-batch
+    * verification path reads items only as (item_id, key) — plus the
+    * postings/norms projections OF those columns in cosine mode — so
+    * joining the full members state per micro-batch to build n_members
+    * would add an O(|state|) scan per batch for a column verifyPairs never
+    * reads. items here carries NO n_members column; callers that need it
+    * use the public [[stateIndex]].
+    */
+  private[graft] def stateIndexLean(
+      spark: SparkSession, stateDir: String, conf: FuzzyConf): IndexTables = {
+    val items = spark.read.parquet(s"$stateDir/items")
+    val sigs = spark.read.parquet(s"$stateDir/sigs")
+    val (postings, norms) = IndexBuild.gramProjections(items, conf)
+    IndexTables(conf, items, spark.read.parquet(s"$stateDir/members"), postings, norms, sigs,
+      sigs.select(col("item_id"), explode(col("band_hashes")).as("band_key")))
+  }
+
   def stateIndex(spark: SparkSession, stateDir: String, conf: FuzzyConf): IndexTables = {
     val items = spark.read.parquet(s"$stateDir/items")
     val members = spark.read.parquet(s"$stateDir/members")
