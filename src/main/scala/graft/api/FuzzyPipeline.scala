@@ -236,7 +236,12 @@ final case class FuzzyPipeline(
       val idx = index
       candLock.synchronized {
         if (candidatesCache == null) {
-          idx.sigs.count() // force ONCE so racing consumers read blocks, not lineage
+          // no standalone sigs.count() force here (it was a full block-scan
+          // job on the critical path): every consumer of sigs below runs on
+          // this one thread under candLock — the bucket-directory stats job
+          // inside fusedPairs is the first action and materializes the lazy
+          // sigs checkpoint as part of its own stage, and later consumers
+          // (the pair join, verifyPairs) then read blocks
           candidatesCache = ckpt("candidates")(
             Candidates.fusedPairs(
               idx.sigs, maxHamming = 3, conf.maxBandBucket, conf.saltChunk,
@@ -395,7 +400,11 @@ final case class FuzzyPipeline(
     val out = ckpt(stage) {
       val edges = edgeSet().select("a_id", "b_id")
       val vertices = index.members.select(col("clip_id").as("id"))
-      val (labeled, _, rel) = Cluster.connectedComponentsReleasable(vertices, edges)
+      // members carries one row per source row (IndexBuild derives it from
+      // the keyed input without grouping away ids), so the vertex set is
+      // distinct by construction — CC may skip its re-proving exchange
+      val (labeled, _, rel) = Cluster.connectedComponentsReleasable(
+        vertices, edges, verticesDistinct = true)
       release = rel
       labeled.select(col("id").as("clip_id"), col("component"))
     }

@@ -13,6 +13,7 @@ object Wav {
 
   val CodecName = "pcm_s16le"
   private val Amp = 0.8 * Short.MaxValue
+  private val DoubleUnit = 1.0 / (1L << 53) // exactly java.util.Random.DOUBLE_UNIT
 
   /** Noise amplitude for a target SNR vs a sine of amplitude Amp:
     * sig_rms = Amp/sqrt(2); uniform(+-a) rms = a/sqrt(3);
@@ -49,16 +50,30 @@ object Wav {
     * [[cleanSignal]], so values are bit-identical to the two-pass form —
     * the synthesis runs once per row of every bench table and its
     * allocation rate was a measured GC driver).
+    *
+    * The noise stream replicates java.util.Random's LCG exactly (same seed
+    * scramble, same 48-bit step, same two-word nextDouble) in two plain
+    * local longs: Random.next() round-trips an AtomicLong CAS per 32-bit
+    * word — two CAS per sample on the hottest per-sample loop of the
+    * flagship's audio phase — purely to support a thread-safety contract
+    * this single-threaded-per-row generator never uses. Values are
+    * bit-identical to `new java.util.Random(noiseSeed).nextDouble()`
+    * (pinned by WavSpec).
     */
   def synthSamples(i: Long, srHz: Int, durMs: Int, noiseSeed: Long, snrDb: Double = 40.0): Array[Short] = {
     val clean = cleanSignalCached(i, srHz, durMs)
     val n = clean.length
-    val rng = new java.util.Random(noiseSeed)
+    var s = (noiseSeed ^ 0x5DEECE66DL) & ((1L << 48) - 1) // Random's seed scramble
     val na = noiseAmp(snrDb)
     val out = new Array[Short](n)
     var t = 0
     while (t < n) {
-      val v = clean(t) + (rng.nextDouble() * 2.0 - 1.0) * na
+      s = (s * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
+      val hi = (s >>> 22).toInt // next(26)
+      s = (s * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
+      val lo = (s >>> 21).toInt // next(27)
+      val d = ((hi.toLong << 27) + lo) * DoubleUnit // Random.DOUBLE_UNIT = 0x1.0p-53
+      val v = clean(t) + (d * 2.0 - 1.0) * na
       out(t) = math.max(Short.MinValue.toDouble, math.min(Short.MaxValue.toDouble, math.rint(v))).toShort
       t += 1
     }
@@ -81,7 +96,11 @@ object Wav {
     buf.putShort(2) // block align
     buf.putShort(16) // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach(buf.putShort)
+    // bulk view copy, not samples.foreach(buf.putShort): Function1 is not
+    // specialized for Short, so the foreach boxed EVERY sample (billions of
+    // allocations per flagship audio pass); the ShortBuffer view writes the
+    // same little-endian bytes in one intrinsic copy
+    buf.asShortBuffer().put(samples)
     buf.array()
   }
 
@@ -122,8 +141,11 @@ object Wav {
         case "data" =>
           val n = size / 2
           samples = new Array[Short](n)
-          var k = 0
-          while (k < n) { samples(k) = buf.getShort(); k += 1 }
+          // bulk view read — same values as n sequential getShort() calls,
+          // one intrinsic copy instead of a per-sample bounds-checked read;
+          // the view does not advance `buf`, which the chunk walk below
+          // repositions absolutely anyway
+          buf.asShortBuffer().get(samples, 0, n)
         case _ => ()
       }
       if (srHz < 0 || samples == null) buf.position(math.min(next, buf.limit()))

@@ -111,13 +111,22 @@ object Candidates {
     val withN =
       if (dirRows <= bucketDirBroadcastLimit) {
         val joined = keyed.join(sizes.hint("broadcast"), Seq("bkey", "ktype"))
-        // dev A/B seam (unset in normal runs): materialize the pruned
-        // keyed-with-size table once instead of re-running the key explode
-        // per branch
-        if (sys.env.get("GRAFT_CAND_WITHN").contains("mat"))
+        // materialize the PRUNED keyed-with-size table once (scratch-tracked,
+        // released with the branch): the directory inner-join drops every
+        // singleton-bucket key, so the blocks hold only collision-bucket
+        // members — a small fraction of the corpus-×-bands explode — and the
+        // a/b sides of the pair self-join read those blocks instead of each
+        // re-running the full sigs-scan + key explode + broadcast join
+        // (guide §1.2 "don't recompute"; interleaved A/B at 1.6M clips:
+        // 13.5-17.1 s -> 9.8-12.1 s for the candidates stage, same pairs).
+        // Seam: graft.cand.withn / GRAFT_CAND_WITHN = "nomat" restores the
+        // recompute-per-branch arm for A/Bs.
+        val withNMode = sys.props.get("graft.cand.withn")
+          .orElse(sys.env.get("GRAFT_CAND_WITHN"))
+        if (withNMode.contains("nomat")) joined
+        else
           scratch.track(joined.localCheckpoint(false,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-        else joined
       } else
         scratch.track(keyed.join(sizes, Seq("bkey", "ktype"))
           .localCheckpoint(false, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))

@@ -84,11 +84,20 @@ object Cluster {
     * checkpoint write); freeing earlier loses the labels — a locally
     * checkpointed RDD's lineage is truncated and cannot recompute.
     */
+  /** `verticesDistinct = true` promises every `vertices.id` is already
+    * unique (e.g. FuzzyPipeline's members table — one row per source row by
+    * construction): the final labeling join then skips its `.distinct()`,
+    * which on a corpus-sized vertex set is a full exchange + hash
+    * aggregation spent re-proving uniqueness (guide §2.4: a distinct on
+    * data that is already unique is an accidental shuffle). Output is
+    * identical for any input that satisfies the promise.
+    */
   private[graft] def connectedComponentsReleasable(
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 25,
-      maxBroadcastEndpoints: Long = 2000000L): (DataFrame, Int, () => Unit) = {
+      maxBroadcastEndpoints: Long = 2000000L,
+      verticesDistinct: Boolean = false): (DataFrame, Int, () => Unit) = {
     // hash-partition the STATIC edge table by the join key once, before
     // its checkpoint: Dataset.localCheckpoint preserves outputPartitioning
     // in the LogicalRDD, so every iteration's neighbor join reuses it and
@@ -112,9 +121,15 @@ object Cluster {
     // exchange; its count is the distinct-endpoint count, which decides
     // the broadcast gate below. Checkpointed: it feeds BOTH build sides of
     // the tagging join below, and without blocks each consumer would
-    // re-aggregate the full edge table (the count then reads blocks too)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val nEndpoints = deg.count()
+    // re-aggregate the full edge table. The endpoint count rides the
+    // checkpoint job as an observed metric instead of a second block-scan
+    // job (one fewer job in the serial CC preamble — same pattern as the
+    // loop's convergence metric below)
+    val degObs = org.apache.spark.sql.Observation("cc_deg_n")
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .observe(degObs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nEndpoints = degObs.get("n").asInstanceOf[Long]
 
     // label tables stay endpoint-sized for the whole loop; when that is
     // broadcastable, hint BOTH per-iteration joins so neither shuffles —
@@ -161,16 +176,20 @@ object Cluster {
     freeCheckpoint(sym)    // superseded by tagged
     freeCheckpoint(tagged) // superseded by pairLabels + residual
 
+    // the empty-residual convergence check rides the label-init checkpoint
+    // job as an observed metric — one fewer job than a count() over the
+    // just-materialized blocks
+    val initObs = org.apache.spark.sql.Observation("cc_labels_init_n")
     var labels = residual
       .select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
+      .observe(initObs, count(lit(1)).as("n"))
       .localCheckpoint()
     var gen: DataFrame = labels // current generation's RAW checkpointed DF
 
     var iter = 0
-    // block scan of the just-materialized eager checkpoint, not a recompute
-    var converged = labels.count() == 0L
+    var converged = initObs.get("n").asInstanceOf[Long] == 0L
     while (!converged && iter < maxIter) {
       // min(self, neighbors) in ONE shuffle: the neighbor-label rows and
       // the self rows union into a single groupBy (round 2 ran a groupBy
@@ -225,9 +244,8 @@ object Cluster {
     }
     // singletons re-enter here; residual endpoints take their loop label,
     // isolated-pair endpoints the contracted one (the sets are disjoint)
-    val out = vertices
-      .select(col("id"))
-      .distinct()
+    val vertexIds = vertices.select(col("id"))
+    val out = (if (verticesDistinct) vertexIds else vertexIds.distinct())
       .join(labels.unionByName(pairLabels), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     freeCheckpoint(residual)

@@ -351,6 +351,40 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     agg.getDouble(0) should be >= 0.3
   }
 
+  test("lev-first verifyPairs equals the gate-first conjunction exactly (round-6 reorder)") {
+    import graft.audio.ClipSynth
+    import graft.sql.{functions => gf}
+    import org.apache.spark.sql.functions.{col, lit, round => sround}
+    // round 6 reordered the lev-mode verify so the narrow key joins run
+    // before the signature-gate joins; the two shapes are the same
+    // predicate conjunction, pinned here pair-for-pair (ids AND scores)
+    // against an inline gate-first reference on the planted fixture
+    val n = 3000L
+    val conf = FuzzyConf()
+    val clips = ClipSynth.table(spark, n, includeAudio = false)
+    val idx = graft.stage.IndexBuild(clips, "clip_id", "transcript", conf)
+    val pairs = graft.stage.Candidates
+      .fusedPairs(idx.sigs, 3, conf.maxBandBucket, conf.saltChunk, conf.maxSaltedBucket)
+      .localCheckpoint()
+    val got = graft.stage.FindStage.verifyPairs(pairs, idx, conf.minScore)
+      .select(col("a_id"), col("b_id"), sround(col("score"), 9).as("score"))
+      .as[(String, String, Double)].collect().toSet
+    val sa = idx.sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig"))
+    val sb = idx.sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig"))
+    val ka = idx.items.select(col("item_id").as("a_id"), col("key").as("a_key"))
+    val kb = idx.items.select(col("item_id").as("b_id"), col("key").as("b_key"))
+    val expected = pairs
+      .join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+      .filter(gf.estJaccard(col("a_sig"), col("b_sig")) >= conf.sigGateMinJaccard)
+      .join(ka, Seq("a_id")).join(kb, Seq("b_id"))
+      .withColumn("score", gf.levNormSim(col("a_key"), col("b_key")))
+      .filter(col("score") >= lit(conf.minScore))
+      .select(col("a_id"), col("b_id"), sround(col("score"), 9).as("score"))
+      .as[(String, String, Double)].collect().toSet
+    expected should not be empty
+    got shouldBe expected
+  }
+
   test("sigGateMinJaccard: lowering minScore + gate together keeps low-J pairs (round-3 verdict)") {
     // planted LOW-J pairs: a 30-char key and its 8-char prefix share only
     // ~7 of ~31 distinct 3-grams (J ~ 0.23, under the default 0.3 gate)

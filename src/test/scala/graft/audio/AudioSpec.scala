@@ -38,6 +38,25 @@ class WavSpec extends AnyFunSuite with Matchers {
     ClipSynth.clipAt(17, 42L).bytes shouldBe ClipSynth.clipAt(17, 42L).bytes
   }
 
+  test("inlined noise LCG is bit-identical to java.util.Random across seeds") {
+    // synthSamples replaced java.util.Random (AtomicLong CAS per 32-bit
+    // word) with the same LCG in plain locals; the noise stream — and so
+    // every synthesized byte — must stay bit-identical to the Random form
+    for (seed <- Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 123456789L)) {
+      val rng = new java.util.Random(seed)
+      val viaRandom = {
+        val clean = Wav.cleanSignal(6, 8000, 300)
+        val amp = 0.8 * Short.MaxValue
+        val na = (amp / math.sqrt(2.0)) * math.sqrt(3.0) / math.pow(10.0, 40.0 / 20.0)
+        clean.map { c =>
+          val v = c + (rng.nextDouble() * 2.0 - 1.0) * na
+          math.max(Short.MinValue.toDouble, math.min(Short.MaxValue.toDouble, math.rint(v))).toShort
+        }
+      }
+      Wav.synthSamples(6, 8000, 300, noiseSeed = seed) shouldBe viaRandom
+    }
+  }
+
   test("parser rejects garbage") {
     an[Exception] should be thrownBy Wav.fromWav(Array[Byte](1, 2, 3))
     an[Exception] should be thrownBy Wav.fromWav(("JUNK" + "x" * 60).getBytes)
