@@ -351,14 +351,16 @@ class FuzzyPipelineSpec extends AnyFunSuite with Matchers {
     agg.getDouble(0) should be >= 0.3
   }
 
-  test("lev-first verifyPairs equals the gate-first conjunction exactly (round-6 reorder)") {
+  test("verifyPairs equals the inline gate+lev conjunction pair-for-pair") {
     import graft.audio.ClipSynth
     import graft.sql.{functions => gf}
     import org.apache.spark.sql.functions.{col, lit, round => sround}
-    // round 6 reordered the lev-mode verify so the narrow key joins run
-    // before the signature-gate joins; the two shapes are the same
-    // predicate conjunction, pinned here pair-for-pair (ids AND scores)
-    // against an inline gate-first reference on the planted fixture
+    // lev-mode verifyPairs = (estJaccard gate) AND (levNormSim >= minScore)
+    // with score = lev; pinned here pair-for-pair (ids AND scores) against
+    // an inline reference on the planted fixture, so any future join
+    // reordering of the stage must preserve the exact conjunction (a
+    // round-6 lev-first reorder was measured SLOWER and reverted — this
+    // spec was its safety net and stays as the stage's semantic pin)
     val n = 3000L
     val conf = FuzzyConf()
     val clips = ClipSynth.table(spark, n, includeAudio = false)
