@@ -46,9 +46,17 @@ object Ann {
   /** Above this many plane-table entries (dim x planes) the literal-array
     * form is abandoned: each entry is a Catalyst literal, so at dim 1024+
     * the plan text/serialization bloats with tens of thousands of nodes
-    * per bucket column (round-3 verdict watch item).
+    * per bucket column (round-3 verdict watch item). Round 6 lowered the
+    * limit 1024 → 128: at dim 64 × 8 planes × 3 bands × 2 join sides the
+    * literal form planned/codegen'd 3072 literal nodes per query — a
+    * measured multi-second one-time compile on q_embed_lsh_topk — and its
+    * per-element aggregate() lambdas run in the HOF interpreter besides;
+    * the broadcast+tight-loop arm is bit-identical (AnnSpec pins parity on
+    * clean AND dirty rows) and both compiles and evaluates faster. The
+    * literal arm remains for genuinely tiny plane tables, where a
+    * broadcast would be pure overhead.
     */
-  private[embed] val literalPlaneLimit = 1024
+  private[embed] val literalPlaneLimit = 128
 
   /** Sign-bit bucket id over `planes` hyperplanes for a quantized vector:
     * bit p set iff sum_d v[d] * entry(g,d) >= 0, with g = band*planes + p

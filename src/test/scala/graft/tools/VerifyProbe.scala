@@ -48,6 +48,26 @@ object VerifyProbe {
       a
     }
     t("pairs")(pairs.count())
+    // interleaved A/B: gate joins as SMJ (default) vs shuffle-hash-hinted
+    for (rep <- 1 to 3) {
+      t(s"gate SMJ rep$rep") {
+        pairs.join(sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+          .join(sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+          .filter(gf.estJaccard(col("a_sig"), col("b_sig")) >= conf.sigGateMinJaccard)
+          .count()
+      }
+      t(s"gate SHJ rep$rep") {
+        // join1 builds on the narrow pair side; join2 builds on the b-side
+        // sig partition (the streamed intermediate carries a_sig and would
+        // be the wider build)
+        pairs.hint("shuffle_hash")
+          .join(sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+          .join(sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig")).hint("shuffle_hash"),
+            Seq("b_id"))
+          .filter(gf.estJaccard(col("a_sig"), col("b_sig")) >= conf.sigGateMinJaccard)
+          .count()
+      }
+    }
     val sa = sigs.select(col("item_id").as("a_id"), col("sig").as("a_sig"))
     val sb = sigs.select(col("item_id").as("b_id"), col("sig").as("b_sig"))
     val ka = items.select(col("item_id").as("a_id"), col("key").as("a_key"))
