@@ -215,6 +215,38 @@ object Candidates {
     */
   private val bucketDirBroadcastLimit = 4000000L
 
+  /** Above this many verified-candidate substring pairs the pair side is no
+    * longer broadcast into the longK key joins (same bound and rationale as
+    * FindStage's broadcastPairLimit).
+    */
+  private val substringPairBroadcastLimit = 1000000L
+
+  /** A/B seam: "off" restores the round-5 recompute/SMJ arms of the
+    * substring pass (lazy matches, un-materialized candidate pairs).
+    */
+  private def substrMatOff: Boolean =
+    sys.props.get("graft.substr.mat")
+      .orElse(sys.env.get("GRAFT_SUBSTR_MAT")).contains("off")
+
+  /** Below this optimizer-estimated items size the substring pass keeps
+    * its lazy round-5 plan: the materialize + count jobs that pay for
+    * themselves on a corpus-scale input (one fewer full window-hash pass,
+    * no corpus sorts) cost MORE than they save on a query-scale one
+    * (measured +1 s on q_substr_pairs' 3 extra jobs at sf0.1). Inputs with
+    * UNKNOWN stats (checkpointed RDDs — the flagship/stream shape) default
+    * to huge and take the materialized arm; parquet-backed query inputs
+    * report real (small) stats and keep the old plan. Same gate pattern as
+    * the small-corpus spread (Queries.spreadSmall / FuzzyPipeline).
+    */
+  private val substrMatMinBytes = 64L << 20
+  private def substrLazy(items: DataFrame): Boolean =
+    substrMatOff || {
+      val est =
+        try items.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+      est <= substrMatMinBytes
+    }
+
   /** Exact substring-containment pairs — the distributed realization of
     * the north rule's suffix-array pass (SURVEY §7.4). A key `a` is a
     * substring of key `b` iff some suffix of `b` starts with `a`; so match
@@ -250,6 +282,10 @@ object Candidates {
       minRatio: Double,
       maxBucket: Int,
       scratch: Scratch = Scratch.noop): DataFrame = {
+    // query-scale inputs keep the lazy round-5 plan; corpus-scale (or
+    // unknown-stats) inputs take the materialized/hinted arms below —
+    // see substrLazy's scaladoc
+    val lazyPlan = substrLazy(items)
     val keyed = items.select(col("item_id"), col("key"), length(col("key")).as("klen"))
     val longK = keyed.filter(col("klen") >= prefixLen)
     val contained = longK
@@ -281,7 +317,18 @@ object Candidates {
         java.util.Arrays.sort(pfxSorted)
         val bc = spark.sparkContext.broadcast(pfxSorted)
         val matched = matchedPrefixes(prefixLen, bc)
-        longK.select(col("item_id").as("b_id"), explode(matched(col("key"))).as("pfx"))
+        val hits = longK.select(col("item_id").as("b_id"), explode(matched(col("key"))).as("pfx"))
+        // materialize the window hits once (scratch-released): okPfx and the
+        // candidate join both consume `matches`, and without blocks each
+        // re-runs the full corpus scan + per-window hash/binary-search UDF
+        // pass. The hits hold only MATCHING windows — candidate-volume
+        // sized, tiny next to the corpus — so the blocks are cheap by
+        // construction in this (broadcast) regime. Seam:
+        // graft.substr.mat/GRAFT_SUBSTR_MAT = "off" restores the
+        // recompute-per-consumer arm for A/Bs.
+        if (lazyPlan) hits
+        else scratch.track(hits.localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
       } else {
         // ONLY (id, hash) travels through the explode — the key BODY and
         // even the L-char prefix string are hashed away before the shuffle
@@ -307,20 +354,40 @@ object Candidates {
       .agg(approx_count_distinct(col("b_id")).as("n"))
       .filter(col("n") <= maxBucket)
       .select("pfx")
-    val candidatePairs = matches
+    val candidatePairsRaw = matches
       .join(okPfx, Seq("pfx"))
       .join(contained, Seq("pfx"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    val longPairs = candidatePairs
-      .join(longK.select(col("item_id").as("a_id"), col("key").as("a_key"), col("klen").as("a_len")), Seq("a_id"))
-      .join(longK.select(col("item_id").as("b_id"), col("key").as("b_key"), col("klen").as("b_len")), Seq("b_id"))
-      .filter(col("a_len") < col("b_len") && col("b_key").contains(col("a_key")))
-      .select(col("a_id"), col("b_id"),
-        (col("a_len").cast("double") / col("b_len")).as("score"))
-      .filter(col("score") >= minRatio)
-      .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
+    // same shape as the verify gate's key joins (FindStage.verifyPairs):
+    // the candidate set is tiny after the prefix match + fanout cap, and
+    // joining it to the corpus-sized longK twice as sort-merge shuffles and
+    // SORTS the whole key table both times. Materialize the candidates
+    // (scratch-released), pick the join side from the ACTUAL count —
+    // broadcast keeps longK unshuffled; past the limit, shuffle-hash
+    // (narrow build sides, no sorts) instead of SMJ (guide §3.1).
+    val longPairs = {
+      val candidatePairs =
+        if (lazyPlan) candidatePairsRaw
+        else scratch.track(candidatePairsRaw.localCheckpoint(false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      val candSmall = !lazyPlan && candidatePairs.count() <= substringPairBroadcastLimit
+      val candSide =
+        if (lazyPlan) candidatePairs
+        else if (candSmall) candidatePairs.hint("broadcast")
+        else candidatePairs.hint("shuffle_hash")
+      def lkSide(df: DataFrame): DataFrame =
+        if (lazyPlan || candSmall) df else df.hint("shuffle_hash")
+      candSide
+        .join(longK.select(col("item_id").as("a_id"), col("key").as("a_key"), col("klen").as("a_len")), Seq("a_id"))
+        .join(lkSide(longK.select(col("item_id").as("b_id"), col("key").as("b_key"), col("klen").as("b_len"))), Seq("b_id"))
+        .filter(col("a_len") < col("b_len") && col("b_key").contains(col("a_key")))
+        .select(col("a_id"), col("b_id"),
+          (col("a_len").cast("double") / col("b_len")).as("score"))
+        .filter(col("score") >= minRatio)
+        .select(col("a_id"), col("b_id"), lit("substr").as("kind"), col("score"))
+    }
 
     // SHORT-KEY closure regime: contained klen in [1, L); their containers
     // are bounded to (klen/minRatio) < L/minRatio chars, so exploding all
